@@ -1,0 +1,17 @@
+from .kalman import KalmanState, kalman_init, kalman_update
+from .equalizer import (
+    EqState,
+    eq_init,
+    train_step,
+    data_step,
+)
+
+__all__ = [
+    "KalmanState",
+    "kalman_init",
+    "kalman_update",
+    "EqState",
+    "eq_init",
+    "train_step",
+    "data_step",
+]

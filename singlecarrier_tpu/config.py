@@ -1,0 +1,140 @@
+"""Modem numerology / configuration.
+
+TPU-native re-design of the reference's compile-time ``#define`` block
+(reference: headers/qpsk_internal.h:23-61, headers/fir.h:16-17,
+headers/kalman.h:26, headers/scramble.h:16-17).  Every constant the C
+code hardcodes becomes a validated field of a frozen dataclass whose
+defaults are the reference values, so the whole pipeline stays
+shape-static under ``jax.jit`` while remaining runtime-configurable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ModemConfig:
+    """Single-carrier QPSK modem numerology.
+
+    Defaults reproduce the reference modem exactly
+    (headers/qpsk_internal.h:23-61).
+    """
+
+    # Sampling / symbol rates -------------------------------------------------
+    fs: float = 8000.0          # sample rate, Hz            (qpsk_internal.h:32)
+    rs: float = 1600.0          # symbol rate, baud          (qpsk_internal.h:33)
+    center: float = 1100.0      # carrier center, Hz         (qpsk_internal.h:37)
+
+    # Framing -----------------------------------------------------------------
+    ns: int = 8                 # data frames per packet     (qpsk_internal.h:39)
+    data_symbols: int = 31      # symbols per data frame     (qpsk_internal.h:40)
+    preamble_length: int = 128  # BPSK chips                 (qpsk_internal.h:53)
+
+    # RRC matched filter ------------------------------------------------------
+    ntaps: int = 49             # FIR taps                   (headers/fir.h:16)
+    fir_gain: float = 2.2       # FIR output gain            (headers/fir.h:17)
+    alpha: float = 0.35         # roll-off; reference default is the
+                                # "narrow" filter (firwide=false, qpsk.c:60)
+    rrc_nsym: int = 10          # filter span in symbols     (constants.c:46)
+
+    # Adaptive equalizer / Kalman --------------------------------------------
+    eq_length: int = 5          # equalizer taps             (qpsk_internal.h:30)
+    kalman_E: float = 0.1       # measurement-error init     (kalman.c:61)
+    kalman_q: float = 0.08      # process noise              (kalman.c:62)
+    data_eq_error_gain: float = 0.1   # decision-directed error scaling
+                                      # (equalizer.c:81)
+
+    # Sync / detection --------------------------------------------------------
+    fine_timing_offset: int = 3       # decimation phase     (qpsk_internal.h:23)
+    match_threshold_margin: int = 30  # detect if matches > P-30 (qpsk.c:196)
+    eof_cost_value: float = 5.0       # hunt-reentry cost    (qpsk_internal.h:28)
+
+    # Scrambler ---------------------------------------------------------------
+    scramble_seed: int = 0x4A80       # DVB LFSR sync seed   (scramble.h:16)
+
+    # TX levels ---------------------------------------------------------------
+    tx_amplitude: float = 16384.0     # data int16 scale     (qpsk.c:317)
+    preamble_amplitude: float = 8192.0  # preamble at 50%    (qpsk.c:315)
+    inter_packet_gap: int = 903       # zero samples between packets
+                                      # (qpsk.c:410-412)
+
+    # ------------------------------------------------------------------ derived
+    @property
+    def cycles(self) -> int:
+        """Oversampling factor FS/RS (qpsk_internal.h:35)."""
+        return int(self.fs / self.rs)
+
+    @property
+    def ts(self) -> float:
+        return 1.0 / self.rs
+
+    @property
+    def frame_symbols(self) -> int:
+        return self.data_symbols * self.ns
+
+    @property
+    def data_size(self) -> int:
+        """Samples of data per packet (qpsk_internal.h:45)."""
+        return self.data_symbols * self.cycles * self.ns
+
+    @property
+    def preamble_size(self) -> int:
+        """Samples of preamble per packet (qpsk_internal.h:54)."""
+        return self.preamble_length * self.cycles
+
+    @property
+    def frame_size(self) -> int:
+        """Samples per RX processing block (qpsk_internal.h:48)."""
+        return self.preamble_size + self.data_size
+
+    @property
+    def bits_per_frame(self) -> int:
+        """Payload bits per packet (qpsk_internal.h:51)."""
+        return self.data_symbols * 2 * self.ns
+
+    @property
+    def symbols_per_block(self) -> int:
+        """Decimated symbols per RX block (FRAME_SIZE / CYCLES)."""
+        return self.frame_size // self.cycles
+
+    @property
+    def match_threshold(self) -> int:
+        """Minimum trained-chip sign matches for detect (qpsk.c:196)."""
+        return self.preamble_length - self.match_threshold_margin
+
+    @property
+    def packet_size(self) -> int:
+        """Total samples per packet incl. inter-packet gap (qpsk.c:380-413)."""
+        return self.frame_size + self.inter_packet_gap
+
+    @property
+    def fir_halo(self) -> int:
+        """Carried FIR state: NTAPS-1 samples (fir.c:30-34)."""
+        return self.ntaps - 1
+
+    def __post_init__(self) -> None:
+        if self.fs <= 0 or self.rs <= 0:
+            raise ValueError("fs and rs must be positive")
+        if self.fs % self.rs != 0:
+            raise ValueError(
+                f"fs ({self.fs}) must be an integer multiple of rs ({self.rs})"
+            )
+        if self.ntaps % 2 != 1:
+            raise ValueError("ntaps must be odd (linear-phase RRC)")
+        if not 0.0 < self.alpha <= 1.0:
+            raise ValueError("alpha must be in (0, 1]")
+        if self.eq_length < 1:
+            raise ValueError("eq_length must be >= 1")
+        if self.fine_timing_offset < 0 or self.fine_timing_offset >= self.cycles:
+            raise ValueError("fine_timing_offset must be in [0, cycles)")
+        if not 0 <= self.scramble_seed < (1 << 15):
+            raise ValueError("scramble_seed must fit in 15 bits")
+
+    def replace(self, **kw) -> "ModemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The reference modem's exact numerology.
+DEFAULT_CONFIG = ModemConfig()
