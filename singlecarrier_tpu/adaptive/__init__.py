@@ -4,6 +4,8 @@ from .equalizer import (
     eq_init,
     train_step,
     data_step,
+    data_step_coherent,
+    data_step_nlms,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "eq_init",
     "train_step",
     "data_step",
+    "data_step_coherent",
+    "data_step_nlms",
 ]

@@ -78,3 +78,64 @@ def data_step(state: EqState, x_win, E: float, q: float,
     new_state = _update(state, x_win, error, E, q)
     dibit = (i_bit.astype(jnp.uint8) << 1) | q_bit.astype(jnp.uint8)
     return new_state, dibit, error.real
+
+
+def data_step_coherent(state: EqState, x_win, E: float, q: float,
+                       error_gain: float = 0.1):
+    """Phase-unambiguous decision-directed update (production path).
+
+    The reference's data slicer applies ``conj(coeff)`` after training
+    with ``coeff`` on a *real* reference (equalizer.c:49 vs 71), which
+    leaves the QPSK constellation rotation ambiguous: for a channel of
+    phase theta the sliced symbols come out rotated by 2*theta + 45deg,
+    and the decision-directed loop locks to an arbitrary 90deg multiple
+    (observed: the C locks each packet differently in its own loopback).
+
+    Fix: slice in the training-consistent domain.  Training drives
+    ``sum(win * coeff) -> p`` (real +/-1) for chips ``g*(1+j)*p``, so a
+    data symbol s yields ``raw = sum(win * coeff) = s*(1-j)/2``;
+    ``raw * (1+j) = s`` exactly -- the known-phase BPSK preamble pins
+    the absolute rotation.  The decision-directed error is formed in
+    the raw domain so the Kalman update dynamics match the reference's
+    structure.
+    """
+    raw = jnp.sum(x_win * state.coeff, axis=-1)
+    sym = raw * jnp.complex64(1.0 + 1.0j)
+    i_bit = (sym.real < 0.0)
+    q_bit = (sym.imag < 0.0)
+    hard = jnp.where(i_bit, -1.0, 1.0) + 1j * jnp.where(q_bit, -1.0, 1.0)
+    desired_raw = hard * jnp.complex64(0.5 - 0.5j)    # hard / (1+j)
+    error = (desired_raw - raw) * error_gain
+    new_state = _update(state, x_win, error, E, q)
+    dibit = (i_bit.astype(jnp.uint8) << 1) | q_bit.astype(jnp.uint8)
+    return new_state, dibit, error.real
+
+
+def data_step_nlms(state: EqState, x_win, mu: float = 0.5,
+                   eps: float = 1e-3):
+    """Stable decision-directed NLMS step (production data path).
+
+    The reference's square-root Kalman is a short-burst estimator: its
+    process-noise inflation (q=0.08 per step, kalman.c:62) diverges
+    over runs longer than the ~159 updates the C ever chains before a
+    kalman_reset (qpsk.c:186).  A full-packet decode is 248 data
+    symbols, so the production path freezes the Kalman after training
+    and tracks with normalized LMS, which is unconditionally stable for
+    0 < mu < 2 and costs O(L) per symbol.
+
+    Slices in the training-consistent domain (see data_step_coherent)
+    so the constellation rotation stays pinned by the preamble.
+    Returns ``(new_state, dibit, |error|)``.
+    """
+    raw = jnp.sum(x_win * state.coeff, axis=-1)
+    sym = raw * jnp.complex64(1.0 + 1.0j)
+    i_bit = (sym.real < 0.0)
+    q_bit = (sym.imag < 0.0)
+    hard = jnp.where(i_bit, -1.0, 1.0) + 1j * jnp.where(q_bit, -1.0, 1.0)
+    desired_raw = hard * jnp.complex64(0.5 - 0.5j)
+    error = desired_raw - raw
+    norm = eps + jnp.sum(x_win.real ** 2 + x_win.imag ** 2, axis=-1)
+    coeff = state.coeff + (mu / norm)[..., None] * error[..., None] \
+        * jnp.conj(x_win)
+    dibit = (i_bit.astype(jnp.uint8) << 1) | q_bit.astype(jnp.uint8)
+    return EqState(kalman=state.kalman, coeff=coeff), dibit, jnp.abs(error)

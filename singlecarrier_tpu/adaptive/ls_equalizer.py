@@ -1,0 +1,144 @@
+"""Closed-form least-squares equalizer (production path).
+
+The reference trains its 5-tap equalizer with 128 sequential
+square-root-Kalman updates (reference: src/equalizer.c:45-58,
+src/kalman.c:85-141).  That recursion is (a) the only serial
+dependency in the whole RX (SURVEY.md hard-part #1) and (b) numerically
+divergent beyond ~100 updates with the reference's q=0.08 process-noise
+inflation (observed on the reference itself: training error grows to
+~1e3 over a 128-chip burst).
+
+The production path replaces the recursion with the *batch* solution of
+the same least-squares problem the RLS is approximating:
+
+    coeff = argmin || C @ coeff - p ||^2 + reg*||coeff||^2
+
+where C[t, i] = sym[lag + t + i] are the chip windows and p the known
++/-1 preamble.  On TPU this is two small matmuls (C^H C is 5x5, C^H p
+is 5) and one 5x5 solve -- fully parallel over channels, numerically
+exact, and it removes the 128-step scan from the hot path entirely.
+Decoding then applies the frozen filter to all 248 data windows as one
+matmul, followed by a vectorized decision-directed phase/frequency
+refinement (no scan either).
+
+The Kalman/RLS scan machinery (adaptive/kalman.py) remains the faithful
+path and the API-parity surface.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def window_matrix(symbols, start, count: int, L: int, *,
+                  center: bool = True):
+    """C[t, i] = symbols[start + t + i - off] for t<count, i<L.
+
+    With ``center`` (production default) the target symbol sits at the
+    middle tap (off = L//2) so the equalizer sees symmetric ISI; with
+    ``center=False`` the window starts AT the target, the reference's
+    alignment (equalizer.c:48: in[index..index+4]).  ``start`` may be
+    traced (per-channel under vmap); dynamic_slice clamps at the array
+    edge, so callers should keep start >= L//2.
+    """
+    off = L // 2 if center else 0
+    s = lax.dynamic_slice_in_dim(symbols, start - off, count + L - 1)
+    cols = [lax.slice_in_dim(s, i, i + count) for i in range(L)]
+    return jnp.stack(cols, axis=-1)
+
+
+def ls_train(symbols, lag, pn, L: int, reg: float = 1e-4):
+    """Fit the equalizer on the preamble; returns ``(coeff, matches)``.
+
+    Solves the regularized normal equations of the training problem the
+    reference's RLS chases (equalizer.c:48-53: val = sum in*coeff, no
+    conjugation; ref is the real +/-1 chip).
+
+    Args:
+      symbols: [n] complex decimated window.
+      lag:     preamble start (traced ok).
+      pn:      [P] float +/-1 chips.
+      L:       equalizer length.
+      reg:     ridge regularization (also keys noise robustness).
+
+    Returns:
+      coeff:   [L] complex filter.
+      matches: i32 count of sign agreements of the fitted output with
+               the chips (the detection statistic, qpsk.c:111-123
+               semantics on the converged filter).
+    """
+    P = pn.shape[-1]
+    C = window_matrix(symbols, lag, P, L)            # [P, L]
+    pnc = pn.astype(jnp.complex64)
+    A = C.conj().mT @ C                               # [L, L] hermitian
+    # Scale-aware ridge: reg relative to the mean window power.
+    scale = jnp.trace(A).real / L
+    A = A + (reg * scale + 1e-12) * jnp.eye(L, dtype=A.dtype)
+    b = C.conj().mT @ pnc                             # [L]
+    coeff = jnp.linalg.solve(A, b)
+    val = C @ coeff
+    matches = jnp.sum((val.real * pn) > 0.0, axis=-1).astype(jnp.int32)
+    return coeff, matches
+
+
+def ls_decode(symbols, start, coeff, n_data: int):
+    """Apply the frozen filter to all data windows: one matmul.
+
+    Returns raw filter outputs [n_data] in the training domain
+    (raw = s * (1-j)/2 for transmitted symbol s; see
+    adaptive/equalizer.py data_step_coherent for the algebra).
+    """
+    L = coeff.shape[-1]
+    C = window_matrix(symbols, start, n_data, L)
+    return C @ coeff
+
+
+def slice_qpsk(raw):
+    """Hard decisions from raw training-domain outputs.
+
+    Returns (dibits u8, hard_raw): hard_raw is the ideal raw-domain
+    point for the decision (for error metrics / phase refinement).
+    """
+    sym = raw * jnp.complex64(1.0 + 1.0j)
+    i_bit = (sym.real < 0.0)
+    q_bit = (sym.imag < 0.0)
+    hard = jnp.where(i_bit, -1.0, 1.0) + 1j * jnp.where(q_bit, -1.0, 1.0)
+    hard_raw = hard * jnp.complex64(0.5 - 0.5j)
+    dibit = (i_bit.astype(jnp.uint8) << 1) | q_bit.astype(jnp.uint8)
+    return dibit, hard_raw
+
+
+def phase_refine(raw, iterations: int = 2):
+    """Decision-directed phase/frequency refinement, fully vectorized.
+
+    Models the residual impairment as raw_k * exp(j(a + b k)) (constant
+    phase + linear ramp = residual CFO after the FFT search) and
+    estimates (a, b) from the decision rotors z_k = raw_k *
+    conj(hard_raw_k): b from the average phase increment
+    angle(sum z_{k+1} conj(z_k)), a from angle(sum z_k e^{-jbk}).
+    No sequential loop; 1-2 iterations suffice.
+
+    Returns (corrected_raw, dibits, mean_abs_error).
+    """
+    n = raw.shape[-1]
+    k = jnp.arange(n, dtype=jnp.float32)
+    cur = raw
+    for _ in range(iterations):
+        dibits, hard_raw = slice_qpsk(cur)
+        z = cur * jnp.conj(hard_raw)
+        inc = jnp.sum(z[..., 1:] * jnp.conj(z[..., :-1]), axis=-1)
+        b = jnp.angle(inc)
+        derot = jnp.exp(-1j * b[..., None] * k).astype(jnp.complex64)
+        z0 = jnp.sum(z * derot, axis=-1)
+        a = jnp.angle(z0)
+        cur = cur * (jnp.exp(-1j * a)[..., None] * derot).astype(jnp.complex64)
+    dibits, hard_raw = slice_qpsk(cur)
+    # Amplitude-normalized decision error: the preamble trains at half
+    # the data amplitude (qpsk.c:313-319), so raw data magnitude is ~2x
+    # the constellation's; decisions are angle-based and unaffected.
+    scale = jnp.mean(jnp.abs(cur), axis=-1, keepdims=True) + 1e-9
+    err = jnp.mean(jnp.abs(cur / scale - hard_raw / jnp.abs(hard_raw)),
+                   axis=-1)
+    return cur, dibits, err

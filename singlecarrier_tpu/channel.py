@@ -1,0 +1,100 @@
+"""Channel impairment models (AWGN / CFO / phase / timing / gain).
+
+The reference's only impairment knob is the compile-time FOFFSET
+carrier offset (reference: src/qpsk.c:67).  Here every impairment is a
+jit-able sampler over int16 passband PCM so BER sweeps (BASELINE.json
+configs #2/#3) and fault-injection tests run batched on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def apply_cfo_phase(pcm, freq_hz: float, phase_rad: float, fs: float,
+                    n0=0):
+    """Apply carrier frequency + phase offset to real passband PCM.
+
+    Shifts the passband signal via its analytic form: for a real
+    passband signal this is approximated by mixing with
+    cos(2 pi f t + phi) on the analytic (hilbert) signal; for the small
+    offsets the modem tracks (|f| << center) we use the exact
+    complex route: analytic signal -> rotate -> real part.
+    """
+    x = pcm.astype(jnp.float32)
+    n = x.shape[-1]
+    xa = _analytic(x)
+    t = (jnp.arange(n) + n0) / fs
+    rot = jnp.exp(1j * (2.0 * np.pi * freq_hz * t + phase_rad)
+                  ).astype(jnp.complex64)
+    return (xa * rot).real
+
+
+def _analytic(x):
+    """Analytic signal via FFT (one-sided spectrum doubling)."""
+    n = x.shape[-1]
+    X = jnp.fft.fft(x, axis=-1)
+    h = jnp.zeros(n, jnp.float32)
+    h = h.at[0].set(1.0)
+    if n % 2 == 0:
+        h = h.at[n // 2].set(1.0)
+        h = h.at[1:n // 2].set(2.0)
+    else:
+        h = h.at[1:(n + 1) // 2].set(2.0)
+    return jnp.fft.ifft(X * h, axis=-1)
+
+
+def awgn(key, pcm, snr_db: float, *, signal_power=None):
+    """Add white Gaussian noise at the given SNR (dB) to float PCM.
+
+    ``signal_power``: mean square of the signal; measured from the
+    active (nonzero) samples if not given.
+    """
+    x = pcm.astype(jnp.float32)
+    if signal_power is None:
+        active = jnp.abs(x) > 0
+        signal_power = jnp.sum(x * x) / jnp.maximum(jnp.sum(active), 1)
+    noise_power = signal_power / (10.0 ** (snr_db / 10.0))
+    noise = jax.random.normal(key, x.shape) * jnp.sqrt(noise_power)
+    return x + noise
+
+
+def timing_offset(pcm, shift: int):
+    """Integer-sample timing shift (zero-padded roll)."""
+    x = pcm.astype(jnp.float32)
+    return jnp.roll(x, shift, axis=-1)
+
+
+def fractional_delay(pcm, delay: float, *, ntaps: int = 33):
+    """Fractional-sample delay via a windowed-sinc interpolator."""
+    x = pcm.astype(jnp.float32)
+    n = np.arange(ntaps) - (ntaps - 1) / 2
+    h = np.sinc(n - delay) * np.hamming(ntaps)
+    h = (h / h.sum()).astype(np.float32)
+    pad = (ntaps - 1) // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    out = jax.lax.conv_general_dilated(
+        xp.reshape(-1, 1, xp.shape[-1]),
+        jnp.asarray(h).reshape(1, 1, -1),
+        window_strides=(1,), padding="VALID")
+    return out.reshape(x.shape)
+
+
+def channel(key, pcm, *, snr_db=None, freq_hz=0.0, phase_rad=0.0,
+            delay=0.0, gain=1.0, fs: float = 8000.0):
+    """Composite impairment: CFO/phase -> fractional delay -> gain -> AWGN.
+
+    Returns float32 passband samples (quantize with
+    ``.astype(jnp.int16)`` if int16 is required downstream).
+    """
+    x = pcm.astype(jnp.float32)
+    if freq_hz != 0.0 or phase_rad != 0.0:
+        x = apply_cfo_phase(x, freq_hz, phase_rad, fs)
+    if delay != 0.0:
+        x = fractional_delay(x, delay)
+    x = x * gain
+    if snr_db is not None:
+        x = awgn(key, x, snr_db)
+    return x

@@ -51,6 +51,18 @@ class ModemConfig:
     match_threshold_margin: int = 30  # detect if matches > P-30 (qpsk.c:196)
     eof_cost_value: float = 5.0       # hunt-reentry cost    (qpsk_internal.h:28)
 
+    # Production-RX extensions (no reference equivalent) ----------------------
+    peak_gate: float = 6.0        # corr peak must exceed gate*window energy
+                                  # (the reference's commented-out energy
+                                  # gate, qpsk.c:196)
+    corr_segments: int = 8        # non-coherent correlation segments
+                                  # (CFO-tolerant hunt; 1 = reference's
+                                  # coherent correlator)
+    cfo_nfft: int = 512           # zero-padded FFT size for CFO search
+    nlms_mu: float = 0.5          # production data-phase NLMS step size
+    ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
+    phase_refine_iters: int = 2   # decision-directed phase-ramp passes
+
     # Scrambler ---------------------------------------------------------------
     scramble_seed: int = 0x4A80       # DVB LFSR sync seed   (scramble.h:16)
 

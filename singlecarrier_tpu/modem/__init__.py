@@ -15,6 +15,14 @@ from .rx import (
     rx_stream,
     make_rx_stream_fn,
 )
+from .rx_production import (
+    ProdRxState,
+    ProdRxOut,
+    prod_rx_init,
+    prod_rx_frame,
+    prod_rx_stream,
+    make_prod_rx_fn,
+)
 
 __all__ = [
     "TxState",
@@ -30,4 +38,10 @@ __all__ = [
     "rx_frame",
     "rx_stream",
     "make_rx_stream_fn",
+    "ProdRxState",
+    "ProdRxOut",
+    "prod_rx_init",
+    "prod_rx_frame",
+    "prod_rx_stream",
+    "make_prod_rx_fn",
 ]

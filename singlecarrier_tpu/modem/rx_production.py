@@ -1,0 +1,225 @@
+"""Production RX: intended-semantics, full-throughput demodulator.
+
+The faithful path (modem/rx.py) replicates the reference's behavior
+including its structural limitations; this is the production redesign
+that keeps the same signal chain (reference: src/qpsk.c:133-239) but
+fixes the intent-vs-implementation gaps documented in SURVEY.md:
+
+ * hunts ALL 376 lag positions per block and all 5 decimation phases
+   (the reference searches 128 lags at one fixed phase -- qpsk.c:53,
+   176-183 -- and so misses most packets; 3/14 frames detect on its own
+   golden vector).
+ * decodes ALL ns*31 = 248 data symbols of a detected packet (the
+   reference slices only the first 31 -- qpsk.c:206-215 -- discarding
+   7/8 of the payload).
+ * rx_timing stays a timing phase; no symbol-index clobber (qpsk.c:219).
+ * segmented (non-coherent) preamble correlation for CFO tolerance,
+   then FFT-based frequency-offset search over the detected chips (the
+   reference's dead fft.c promoted to a live feature) and closed-form
+   de-rotation before equalizer training.
+ * an energy gate on the correlation peak (the reference commented it
+   out -- qpsk.c:196), which also kills the reference's spurious
+   detects on all-zero windows.
+ * symmetric scrambling with per-packet keystream reset (the DVB frame
+   sync intent, scramble.c:14; the reference TX never scrambles --
+   SURVEY.md quirk #3).
+
+Per-block latency is one frame (the hunt window is [prev | cur]); every
+stream position is searched exactly once.  The whole step is pure
+``(cfg, state, pcm) -> (state, out)``; ``vmap`` over channels is the
+scaling axis, ``lax.scan`` over blocks the streaming axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..adaptive.ls_equalizer import (ls_decode, ls_train, phase_refine,
+                                     slice_qpsk)
+from ..config import ModemConfig
+from ..constants import PREAMBLE_TABLE, PREAMBLE_VALUES, rrc_taps
+from ..dsp.correlate import preamble_corr_matrix, window_energy
+from ..dsp.fftops import estimate_cfo, wipeoff_rotation
+from ..dsp.fir import fir_block, fir_init_state
+from ..dsp.mixer import mix_block, mixer_init_phase
+from ..scramble import scramble_dibits
+
+
+class ProdRxState(NamedTuple):
+    phase: jnp.ndarray        # [..] c64 downmix phasor
+    fir_tail: jnp.ndarray     # [.., ntaps-1] c64 matched-filter halo
+    decim_prev: jnp.ndarray   # [.., cycles, n_sym] prev block, all phases
+
+
+class ProdRxOut(NamedTuple):
+    valid: jnp.ndarray        # [..] bool packet detected in this block
+    bits: jnp.ndarray         # [.., bits_per_frame] u8 full packet payload
+    matches: jnp.ndarray      # [..] i32 trained-chip sign matches
+    lag: jnp.ndarray          # [..] i32 preamble start (symbol lag in window)
+    timing_phase: jnp.ndarray  # [..] i32 winning decimation phase
+    peak: jnp.ndarray         # [..] f32 correlation peak (non-coherent)
+    energy: jnp.ndarray       # [..] f32 window energy at the peak
+    cfo_hz: jnp.ndarray       # [..] f32 estimated carrier offset
+    eq_error: jnp.ndarray     # [..] f32 mean |decision error| over data
+
+
+def prod_rx_init(cfg: ModemConfig, batch_shape=()) -> ProdRxState:
+    return ProdRxState(
+        phase=mixer_init_phase(batch_shape),
+        fir_tail=fir_init_state(cfg.ntaps, batch_shape),
+        decim_prev=jnp.zeros(
+            (*batch_shape, cfg.cycles, cfg.symbols_per_block), jnp.complex64),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _segment_matrices(n_lags: int, n_segments: int):
+    """Per-segment correlation matrices for non-coherent combining.
+
+    Splits the 128-chip PN into ``n_segments`` equal pieces; each piece
+    correlates coherently (one banded matmul), the pieces combine by
+    power so a carrier offset that rotates across the full preamble
+    cannot cancel the sum.  n_segments=1 recovers the reference's
+    coherent correlator (qpsk.c:88-96).
+    """
+    pre = PREAMBLE_TABLE
+    p = len(pre)
+    seg = p // n_segments
+    mats = []
+    for s in range(n_segments):
+        chunk = np.zeros_like(pre)
+        chunk[s * seg:(s + 1) * seg] = pre[s * seg:(s + 1) * seg]
+        mats.append(preamble_corr_matrix(tuple(chunk), n_lags))
+    return np.stack(mats)  # [n_segments, n_lags + p - 1, n_lags]
+
+
+def _hunt(cfg: ModemConfig, windows):
+    """Find the (phase, lag) correlation peak.
+
+    ``windows``: [cycles, 2*n_sym] decimated symbol windows per phase.
+    Returns (lag, phase_idx, peak, energy_at_peak).
+    """
+    n_lags = cfg.symbols_per_block
+    p = cfg.preamble_length
+    mats = jnp.asarray(_segment_matrices(n_lags, cfg.corr_segments))
+    d = windows[..., :n_lags + p - 1]
+    # [seg, win, lags] x [phase, win] -> [phase, seg, lags]
+    out = jnp.einsum("...pw,swl->...psl", d, mats)
+    power = (out.real ** 2 + out.imag ** 2).sum(axis=-2)   # [phase, lags]
+    flat = power.reshape(*power.shape[:-2], -1)
+    idx = jnp.argmax(flat, axis=-1)
+    peak = jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]
+    phase_idx = (idx // n_lags).astype(jnp.int32)
+    lag = (idx % n_lags).astype(jnp.int32)
+
+    energy = window_energy(windows, p, n_lags)             # [phase, lags]
+    eflat = energy.reshape(*energy.shape[:-2], -1)
+    e_at = jnp.take_along_axis(eflat, idx[..., None], -1)[..., 0]
+    return lag, phase_idx, peak, e_at
+
+
+def _train_and_decode(cfg: ModemConfig, symbols, lag):
+    """Closed-form equalizer fit + one-shot packet decode (no scans).
+
+    ``symbols``: [2*n_sym] CFO-corrected window at the winning phase.
+    Replaces the reference's serial train_eq x128 / data_eq recursion
+    (qpsk.c:186-215) with the batch least-squares fit of the same
+    problem (adaptive/ls_equalizer.py) -- the per-packet work is two
+    matmuls, a 5x5 solve, and a vectorized phase refinement.
+    """
+    pre_real = jnp.asarray(PREAMBLE_VALUES.astype(np.float32))
+    coeff, matches = ls_train(symbols, lag, pre_real, cfg.eq_length,
+                              cfg.ls_reg)
+    raw = ls_decode(symbols, lag + cfg.preamble_length, coeff,
+                    cfg.frame_symbols)
+    _, dibits, err = phase_refine(raw, iterations=cfg.phase_refine_iters)
+    return matches, dibits, err
+
+
+def prod_rx_frame(cfg: ModemConfig, state: ProdRxState, pcm, *,
+                  descramble: bool = True):
+    """Demodulate one frame_size block; returns ``(state, ProdRxOut)``.
+
+    Single-channel; ``jax.vmap`` supplies the channel axis.
+    """
+    n_sym = cfg.symbols_per_block
+    taps = rrc_taps(cfg.alpha, cfg.ntaps)
+
+    # Downmix + matched filter the CURRENT block (streaming halo; no
+    # double-buffer latency).
+    x = pcm.astype(jnp.float32) / cfg.tx_amplitude
+    raw, phase = mix_block(x, state.phase, -cfg.center, cfg.fs)
+    filtered, fir_tail = fir_block(taps, cfg.fir_gain, state.fir_tail, raw)
+
+    # All 5 decimation phases at once: [cycles, n_sym].
+    decim_cur = filtered.reshape(n_sym, cfg.cycles).T
+
+    # Two-block hunt windows per phase: [cycles, 2*n_sym].
+    windows = jnp.concatenate([state.decim_prev, decim_cur], axis=-1)
+
+    lag, phase_idx, peak, energy = _hunt(cfg, windows)
+    gated = peak > energy * cfg.peak_gate
+
+    # The winning phase's window.
+    symbols = jnp.take_along_axis(
+        windows, phase_idx[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+
+    # FFT-based CFO search over the detected chips (promoted feature;
+    # the reference's fft.c is dead code -- SURVEY.md quirk #4).
+    chips = lax.dynamic_slice_in_dim(symbols, lag, cfg.preamble_length)
+    pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32))
+    cfo_hz, _ = estimate_cfo(chips, pn, cfg.rs, nfft=cfg.cfo_nfft)
+    cfo_hz = jnp.where(gated, cfo_hz, 0.0)
+
+    # De-rotate the whole window so training and data see a stable
+    # constellation; rotation is anchored at the preamble start.
+    k = jnp.arange(2 * n_sym, dtype=jnp.float32) - lag.astype(jnp.float32)
+    rot = jnp.exp(-1j * (2.0 * np.pi / cfg.rs) * cfo_hz * k
+                  ).astype(jnp.complex64)
+    symbols_corr = symbols * rot
+
+    matches, dibits, eq_error = _train_and_decode(cfg, symbols_corr, lag)
+    valid = gated & (matches > cfg.match_threshold)
+
+    if descramble:
+        # Per-packet keystream reset (DVB frame-sync intent,
+        # scramble.c:14-16).
+        dibits, _ = scramble_dibits(dibits, jnp.int32(0))
+
+    bits = jnp.stack([dibits & 1, dibits >> 1], axis=-1).reshape(
+        *dibits.shape[:-1], -1).astype(jnp.uint8)
+
+    new_state = ProdRxState(phase=phase, fir_tail=fir_tail,
+                            decim_prev=decim_cur)
+    out = ProdRxOut(
+        valid=valid, bits=bits, matches=matches, lag=lag,
+        timing_phase=phase_idx, peak=peak, energy=energy,
+        cfo_hz=cfo_hz, eq_error=eq_error,
+    )
+    return new_state, out
+
+
+def prod_rx_stream(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
+                   descramble: bool = True):
+    """Stream demod over [n_frames, frame_size] blocks via lax.scan."""
+    def body(st, pcm):
+        return prod_rx_frame(cfg, st, pcm, descramble=descramble)
+
+    return lax.scan(body, state, pcm_frames)
+
+
+def make_prod_rx_fn(cfg: ModemConfig, *, descramble: bool = True,
+                    batched: bool = False):
+    def fn(state, pcm_frames):
+        return prod_rx_stream(cfg, state, pcm_frames, descramble=descramble)
+
+    if batched:
+        fn = jax.vmap(fn)
+    return jax.jit(fn)

@@ -80,7 +80,26 @@ def tx_frame(cfg: ModemConfig, state: TxState, symbols, amplitude):
     return pcm, TxState(fir_tail=fir_tail, phase=phase)
 
 
-def tx_packet(cfg: ModemConfig, state: TxState, bits, *, scramble_offset=None):
+def _flushed_gap(cfg: ModemConfig, state: TxState, batch_shape):
+    """Run the inter-packet gap zeros through the pulse shaper.
+
+    The reference writes the 903 gap zeros straight to the output
+    (qpsk.c:410-412) WITHOUT flushing tx_filter, so the trailing
+    ~ntaps/2 samples of each packet's last symbols are never emitted
+    and those symbols are unrecoverable at the RX (their pulse is
+    truncated).  Production TX filters the gap so the full pulse energy
+    lands on air; the gap stays silent except its first ~48 samples.
+    """
+    zeros = jnp.zeros((*batch_shape, cfg.inter_packet_gap), jnp.complex64)
+    taps = rrc_taps(cfg.alpha, cfg.ntaps)
+    sig, fir_tail = fir_block(taps, cfg.fir_gain, state.fir_tail, zeros)
+    sig, phase = mix_block(sig, state.phase, cfg.center, cfg.fs)
+    pcm = (sig.real * cfg.tx_amplitude).astype(jnp.int16)
+    return pcm, TxState(fir_tail=fir_tail, phase=phase)
+
+
+def tx_packet(cfg: ModemConfig, state: TxState, bits, *, scramble_offset=None,
+              flush_gap: bool = False):
     """Modulate one full packet: preamble + ns data frames + gap.
 
     Port of the per-packet TX loop (qpsk.c:380-413).  ``bits``:
@@ -110,12 +129,16 @@ def tx_packet(cfg: ModemConfig, state: TxState, bits, *, scramble_offset=None):
         syms = qpsk_mod(bits[..., j, :])
         pcm_j, state = tx_frame(cfg, state, syms, cfg.tx_amplitude)
         chunks.append(pcm_j)
-    gap = jnp.zeros((*bits.shape[:-2], cfg.inter_packet_gap), jnp.int16)
+    if flush_gap:
+        gap, state = _flushed_gap(cfg, state, bits.shape[:-2])
+    else:
+        gap = jnp.zeros((*bits.shape[:-2], cfg.inter_packet_gap), jnp.int16)
     chunks.append(gap)
     return jnp.concatenate(chunks, axis=-1), state
 
 
-def tx_stream(cfg: ModemConfig, bits, *, scramble: bool = False):
+def tx_stream(cfg: ModemConfig, bits, *, scramble: bool = False,
+              flush_gap: bool = False):
     """Modulate a multi-packet stream (the reference main TX loop,
     qpsk.c:373-415).
 
@@ -125,11 +148,11 @@ def tx_stream(cfg: ModemConfig, bits, *, scramble: bool = False):
     n_packets = bits.shape[-3]
     state = tx_init(cfg, bits.shape[:-3])
     out = []
-    offset = 0
     for k in range(n_packets):
-        off = offset if scramble else None
+        # Per-packet keystream reset (the DVB frame-sync intent,
+        # scramble.c:14-16), matching the production RX.
+        off = 0 if scramble else None
         pcm, state = tx_packet(cfg, state, bits[..., k, :, :],
-                               scramble_offset=off)
+                               scramble_offset=off, flush_gap=flush_gap)
         out.append(pcm)
-        offset += cfg.ns * cfg.data_symbols
     return jnp.concatenate(out, axis=-1)
