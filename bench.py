@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched production demod throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the north-star real-time bar (BASELINE.md) is 1M concurrent
+8 kHz channels on a v5e-8 = 1e9 complex samples/s per chip.
+``vs_baseline`` is measured samples/s per chip divided by that bar;
+>= 1.0 means this chip sustains its share of the 1M-channel target in
+real time.
+
+The input stream is synthesized ON DEVICE (jax.random) so host->device
+transfer is excluded (the axon tunnel is not representative of
+production ingest; the native IO engine covers that path separately).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+REALTIME_SAMPLES_PER_CHIP = 1.0e9  # 1M ch x 8 kHz / 8 chips
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=4096)
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
+    from singlecarrier_tpu.modem import prod_rx_init
+    from singlecarrier_tpu.modem.rx_production import prod_rx_stream
+
+    C, B = args.channels, args.blocks
+
+    @jax.jit
+    def synth(key):
+        return jax.random.randint(
+            key, (C, B, cfg.frame_size), -16384, 16384, jnp.int16)
+
+    @jax.jit
+    def step(state, pcm):
+        return jax.vmap(lambda st, p: prod_rx_stream(cfg, st, p))(state, pcm)
+
+    key = jax.random.PRNGKey(0)
+    pcm = synth(key)
+    state = prod_rx_init(cfg, (C,))
+    jax.block_until_ready(pcm)
+
+    # warmup / compile
+    for _ in range(args.warmup):
+        out_state, out = step(state, pcm)
+        jax.block_until_ready(out_state)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out_state, out = step(out_state, pcm)
+    jax.block_until_ready(out_state)
+    dt = time.perf_counter() - t0
+
+    samples = C * B * cfg.frame_size * args.iters
+    sps = samples / dt
+    channels_realtime = sps / cfg.fs
+
+    print(json.dumps({
+        "metric": "demod_samples_per_sec_per_chip",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / REALTIME_SAMPLES_PER_CHIP, 4),
+        "detail": {
+            "channels": C,
+            "blocks_per_iter": B,
+            "iters": args.iters,
+            "wall_s": round(dt, 4),
+            "equivalent_realtime_8khz_channels": int(channels_realtime),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

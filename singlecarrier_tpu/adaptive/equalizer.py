@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..utils.compat import czeros
 from .kalman import KalmanState, kalman_init, kalman_update
 
 
@@ -36,7 +37,7 @@ def eq_init(eq_length: int, batch_shape=()) -> EqState:
     """kalman_reset(): coeff = 0, u = 0, d = 1 (kalman.c:42-55)."""
     return EqState(
         kalman=kalman_init(eq_length, batch_shape),
-        coeff=jnp.zeros((*batch_shape, eq_length), jnp.complex64),
+        coeff=czeros((*batch_shape, eq_length)),
     )
 
 

@@ -26,6 +26,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..utils.compat import czeros
+
 
 class KalmanState(NamedTuple):
     """UD factors: u strictly-upper [.., L, L] c64, d diagonal [.., L] f32."""
@@ -36,7 +38,7 @@ class KalmanState(NamedTuple):
 def kalman_init(eq_length: int, batch_shape=()) -> KalmanState:
     """kalman_reset(): u = 0, d = 1 (kalman.c:42-55)."""
     return KalmanState(
-        u=jnp.zeros((*batch_shape, eq_length, eq_length), jnp.complex64),
+        u=czeros((*batch_shape, eq_length, eq_length)),
         d=jnp.ones((*batch_shape, eq_length), jnp.float32),
     )
 

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..utils.linalg import chol_solve_hermitian
+
 
 def window_matrix(symbols, start, count: int, L: int, *,
                   center: bool = True):
@@ -77,7 +79,9 @@ def ls_train(symbols, lag, pn, L: int, reg: float = 1e-4):
     scale = jnp.trace(A).real / L
     A = A + (reg * scale + 1e-12) * jnp.eye(L, dtype=A.dtype)
     b = C.conj().mT @ pnc                             # [L]
-    coeff = jnp.linalg.solve(A, b)
+    # Unrolled Cholesky: far faster than jnp.linalg.solve's generic LU
+    # for batched tiny systems on TPU (utils/linalg.py).
+    coeff = chol_solve_hermitian(A, b)
     val = C @ coeff
     matches = jnp.sum((val.real * pn) > 0.0, axis=-1).astype(jnp.int32)
     return coeff, matches

@@ -22,6 +22,8 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.compat import device_complex
+
 
 @functools.lru_cache(maxsize=8)
 def preamble_corr_matrix(pre_key, n_lags: int) -> np.ndarray:
@@ -46,7 +48,7 @@ def preamble_correlate(symbols, preamble: np.ndarray, n_lags: int):
     (matches fabsf(cnormf(out)), qpsk.c:95).
     """
     p = len(preamble)
-    w = jnp.asarray(preamble_corr_matrix(
+    w = device_complex(preamble_corr_matrix(
         tuple(np.asarray(preamble, np.complex64)), n_lags))
     d = symbols[..., :n_lags + p - 1]
     out = d @ w                       # [..., n_lags] complex

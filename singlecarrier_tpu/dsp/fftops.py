@@ -15,6 +15,8 @@ feature: FFT-based frequency-offset search.  On TPU the FFT itself is
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,7 +39,16 @@ def irfft(x, n=None, axis=-1):
     return jnp.fft.irfft(x, n=n, axis=axis)
 
 
-def estimate_cfo(chips, pn, symbol_rate: float, *, nfft: int = 512):
+@functools.lru_cache(maxsize=8)
+def _dft_matrix(p: int, nfft: int):
+    """[p, nfft] DFT analysis matrix (host, complex64)."""
+    k = np.arange(p)[:, None]
+    f = np.arange(nfft)[None, :]
+    return np.exp(-2j * np.pi * k * f / nfft).astype(np.complex64)
+
+
+def estimate_cfo(chips, pn, symbol_rate: float, *, nfft: int = 512,
+                 method: str = "dft"):
     """Estimate carrier offset (Hz) from received preamble chips.
 
     Args:
@@ -49,8 +60,17 @@ def estimate_cfo(chips, pn, symbol_rate: float, *, nfft: int = 512):
 
     Returns (cfo_hz, peak_power): both [...]-shaped float32.
     """
-    tone = chips * jnp.asarray(pn, chips.dtype)   # wipe off +/-1 modulation
-    spec = jnp.fft.fft(tone, n=nfft, axis=-1)
+    # wipe off +/-1 modulation; pn must be REAL (complex host constants
+    # cannot cross to device on the axon backend -- utils/compat.py)
+    tone = chips * pn
+    if method == "dft":
+        # Zero-padded spectrum as one matmul (MXU) instead of a batched
+        # length-nfft FFT of a length-P signal: [.., P] @ [P, nfft].
+        from ..utils.compat import device_complex
+        w = device_complex(_dft_matrix(int(tone.shape[-1]), int(nfft)))
+        spec = tone @ w
+    else:
+        spec = jnp.fft.fft(tone, n=nfft, axis=-1)
     power = spec.real ** 2 + spec.imag ** 2
     k = jnp.argmax(power, axis=-1)
 

@@ -35,6 +35,9 @@ _LANE = 128  # TPU lane width; banded tiles are one lane wide
 
 def fir_init_state(ntaps: int, batch_shape=(), dtype=jnp.complex64):
     """Zero delay-line halo: the last ``ntaps-1`` inputs (fir.c:30-34)."""
+    if dtype == jnp.complex64:
+        from ..utils.compat import czeros
+        return czeros((*batch_shape, ntaps - 1))
     return jnp.zeros((*batch_shape, ntaps - 1), dtype)
 
 

@@ -21,10 +21,13 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.compat import device_complex
+
 
 def mixer_init_phase(batch_shape=()):
     """Initial unit phasor: cmplx(0) = 1+0j (qpsk.c:375, 427)."""
-    return jnp.ones(batch_shape, jnp.complex64)
+    from ..utils.compat import cones
+    return cones(batch_shape)
 
 
 @functools.lru_cache(maxsize=32)
@@ -52,7 +55,7 @@ def mix_block(x, phase, freq_hz: float, fs: float):
       fs:      sample rate.
     """
     n = x.shape[-1]
-    table = jnp.asarray(mixer_table(float(freq_hz), float(fs), int(n)))
+    table = device_complex(mixer_table(float(freq_hz), float(fs), int(n)))
     y = x * (phase[..., None] * table)
     new_phase = phase * table[n - 1]
     new_phase = new_phase / jnp.abs(new_phase)

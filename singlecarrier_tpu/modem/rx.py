@@ -52,6 +52,7 @@ from ..dsp.correlate import preamble_correlate, window_energy
 from ..dsp.decimate import decimate_at
 from ..dsp.fir import fir_block, fir_init_state
 from ..dsp.mixer import mix_block, mixer_init_phase
+from ..utils.compat import czeros
 
 HUNT = 0
 PROCESS = 1
@@ -92,8 +93,8 @@ def rx_init(cfg: ModemConfig, batch_shape=()) -> RxState:
     return RxState(
         phase=mixer_init_phase(batch_shape),
         fir_tail=fir_init_state(cfg.ntaps, batch_shape),
-        raw_prev=jnp.zeros((*batch_shape, cfg.frame_size), jnp.complex64),
-        decim_prev=jnp.zeros((*batch_shape, n_sym), jnp.complex64),
+        raw_prev=czeros((*batch_shape, cfg.frame_size)),
+        decim_prev=czeros((*batch_shape, n_sym)),
         rx_timing=jnp.full(batch_shape, cfg.fine_timing_offset, jnp.int32),
         scramble_offset=jnp.zeros(batch_shape, jnp.int32),
         sm_state=jnp.full(batch_shape, HUNT, jnp.int32),

@@ -49,6 +49,7 @@ from ..dsp.fftops import estimate_cfo, wipeoff_rotation
 from ..dsp.fir import fir_block, fir_init_state
 from ..dsp.mixer import mix_block, mixer_init_phase
 from ..scramble import scramble_dibits
+from ..utils.compat import czeros
 
 
 class ProdRxState(NamedTuple):
@@ -73,53 +74,73 @@ def prod_rx_init(cfg: ModemConfig, batch_shape=()) -> ProdRxState:
     return ProdRxState(
         phase=mixer_init_phase(batch_shape),
         fir_tail=fir_init_state(cfg.ntaps, batch_shape),
-        decim_prev=jnp.zeros(
-            (*batch_shape, cfg.cycles, cfg.symbols_per_block), jnp.complex64),
+        decim_prev=czeros(
+            (*batch_shape, cfg.cycles, cfg.symbols_per_block)),
     )
 
 
 @functools.lru_cache(maxsize=8)
-def _segment_matrices(n_lags: int, n_segments: int):
-    """Per-segment correlation matrices for non-coherent combining.
+def _segment_kernels(n_segments: int):
+    """Real +/-1 chip kernels, one per correlation segment.
 
-    Splits the 128-chip PN into ``n_segments`` equal pieces; each piece
-    correlates coherently (one banded matmul), the pieces combine by
-    power so a carrier offset that rotates across the full preamble
-    cannot cancel the sum.  n_segments=1 recovers the reference's
-    coherent correlator (qpsk.c:88-96).
+    The preamble chip c_k = v_k * (1+j) with v_k real +/-1
+    (qpsk.c:361-365), so the (non-conjugated, qpsk.c:92) correlation
+    factors: sum c_k s[l+k] = (1+j) * conv(v, s) -- a REAL-kernel
+    convolution of the complex symbols, and |corr|^2 =
+    2 * |conv(v, s)|^2.  Splitting v into segments gives the
+    CFO-tolerant non-coherent hunt at conv cost (16-tap kernels)
+    instead of dense banded matmuls.
     """
-    pre = PREAMBLE_TABLE
-    p = len(pre)
-    seg = p // n_segments
-    mats = []
-    for s in range(n_segments):
-        chunk = np.zeros_like(pre)
-        chunk[s * seg:(s + 1) * seg] = pre[s * seg:(s + 1) * seg]
-        mats.append(preamble_corr_matrix(tuple(chunk), n_lags))
-    return np.stack(mats)  # [n_segments, n_lags + p - 1, n_lags]
+    v = PREAMBLE_VALUES.astype(np.float32)
+    seg = len(v) // n_segments
+    return v[:n_segments * seg].reshape(n_segments, 1, seg)
 
 
 def _hunt(cfg: ModemConfig, windows):
     """Find the (phase, lag) correlation peak.
 
-    ``windows``: [cycles, 2*n_sym] decimated symbol windows per phase.
-    Returns (lag, phase_idx, peak, energy_at_peak).
+    ``windows``: [cycles, 2*n_sym] decimated symbol windows per phase
+    (a leading batch axis is also supported).  Returns
+    (lag, phase_idx, peak, energy_at_peak).
+
+    Metric: sum_s 2*|conv(v_s, sym)[l + s*seg]|^2 over the
+    ``corr_segments`` pieces of the PN -- segments combine by power so
+    a carrier offset cannot cancel the sum; n_segments=1 recovers the
+    reference's coherent correlator (qpsk.c:88-96) up to the constant
+    factor 2.
     """
     n_lags = cfg.symbols_per_block
     p = cfg.preamble_length
-    mats = jnp.asarray(_segment_matrices(n_lags, cfg.corr_segments))
-    d = windows[..., :n_lags + p - 1]
-    # [seg, win, lags] x [phase, win] -> [phase, seg, lags]
-    out = jnp.einsum("...pw,swl->...psl", d, mats)
-    power = (out.real ** 2 + out.imag ** 2).sum(axis=-2)   # [phase, lags]
-    flat = power.reshape(*power.shape[:-2], -1)
+    n_seg = cfg.corr_segments
+    seg = p // n_seg
+    kernels = jnp.asarray(_segment_kernels(n_seg))     # [seg_n, 1, seg]
+
+    batch_shape = windows.shape[:-2]
+    cyc = windows.shape[-2]
+    w = windows[..., :n_lags + p - 1]
+    n_in = w.shape[-1]
+    # real/imag planes as conv batch: [B*cyc*2, 1, n_in]
+    planes = jnp.stack([w.real, w.imag], axis=-2)
+    planes = planes.reshape(-1, 1, n_in)
+    conv = lax.conv_general_dilated(
+        planes, kernels, window_strides=(1,), padding="VALID")
+    # [B, cyc, 2, seg_n, n_in - seg + 1]
+    conv = conv.reshape(*batch_shape, cyc, 2, n_seg, n_in - seg + 1)
+    # segment s contributes at lag l from conv position l + s*seg
+    parts = [lax.slice_in_dim(conv[..., s, :], s * seg, s * seg + n_lags,
+                              axis=-1)
+             for s in range(n_seg)]
+    stk = jnp.stack(parts, axis=-2)                    # [B, cyc, 2, seg_n, lags]
+    power = 2.0 * (stk ** 2).sum(axis=(-3, -2))        # [B, cyc, lags]
+
+    flat = power.reshape(*batch_shape, -1)
     idx = jnp.argmax(flat, axis=-1)
     peak = jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]
     phase_idx = (idx // n_lags).astype(jnp.int32)
     lag = (idx % n_lags).astype(jnp.int32)
 
-    energy = window_energy(windows, p, n_lags)             # [phase, lags]
-    eflat = energy.reshape(*energy.shape[:-2], -1)
+    energy = window_energy(windows, p, n_lags)         # [B, cyc, lags]
+    eflat = energy.reshape(*batch_shape, -1)
     e_at = jnp.take_along_axis(eflat, idx[..., None], -1)[..., 0]
     return lag, phase_idx, peak, e_at
 

@@ -1,0 +1,71 @@
+"""Backend compatibility helpers.
+
+The axon TPU backend (the tunneled single-chip environment this
+framework develops against) cannot transfer complex64 arrays across the
+host<->device boundary in either direction -- complex COMPUTE on device
+is fully supported, only the transfers are unimplemented.  Two rules
+keep the framework portable:
+
+ * embed host complex constants as two real constants combined on
+   device with ``lax.complex`` (``device_complex``);
+ * fetch complex results by splitting into real/imag on device first
+   (``fetch`` / ``tree_fetch``).
+
+On standard backends these are no-ops semantically and cost one fused
+elementwise op.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def device_complex(arr):
+    """jnp-ify a host array; complex goes as two real constants.
+
+    Use instead of ``jnp.asarray`` for any possibly-complex host
+    constant that lands inside a jitted program.
+    """
+    a = np.asarray(arr)
+    if not np.iscomplexobj(a):
+        return jnp.asarray(a)
+    return lax.complex(jnp.asarray(np.ascontiguousarray(a.real)),
+                       jnp.asarray(np.ascontiguousarray(a.imag)))
+
+
+def czeros(shape):
+    """complex64 zeros built ON device (eager jnp.zeros(.., complex64)
+    lowers to a host-constant device_put, which the axon backend cannot
+    transfer)."""
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    return lax.complex(jnp.zeros(shape, jnp.float32),
+                       jnp.zeros(shape, jnp.float32))
+
+
+def cones(shape):
+    """complex64 ones (1+0j) built ON device."""
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    return lax.complex(jnp.ones(shape, jnp.float32),
+                       jnp.zeros(shape, jnp.float32))
+
+
+@jax.jit
+def _split(x):
+    return x.real, x.imag
+
+
+def fetch(x) -> np.ndarray:
+    """Device -> host, safe for complex leaves."""
+    x = jnp.asarray(x)
+    if not jnp.iscomplexobj(x):
+        return np.asarray(x)
+    re, im = _split(x)
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+def tree_fetch(tree):
+    """``fetch`` over a pytree (states, outputs)."""
+    return jax.tree.map(fetch, tree)
