@@ -76,7 +76,7 @@ def ls_train(symbols, lag, pn, L: int, reg: float = 1e-4):
     pnc = pn.astype(jnp.complex64)
     A = C.conj().mT @ C                               # [L, L] hermitian
     # Scale-aware ridge: reg relative to the mean window power.
-    scale = jnp.trace(A).real / L
+    scale = (jnp.trace(A, axis1=-2, axis2=-1).real / L)[..., None, None]
     A = A + (reg * scale + 1e-12) * jnp.eye(L, dtype=A.dtype)
     b = C.conj().mT @ pnc                             # [L]
     # Unrolled Cholesky: far faster than jnp.linalg.solve's generic LU
@@ -114,6 +114,34 @@ def slice_qpsk(raw):
     return dibit, hard_raw
 
 
+def ls_refit(symbols, start, coeff, n_data: int, reg: float = 1e-3):
+    """Decision-directed LS refit on the data section.
+
+    The preamble transmits at HALF the data amplitude (qpsk.c:313-319),
+    so the training fit sees 6 dB less SNR than the payload; refitting
+    the filter against the hard decisions of a first decode pass
+    recovers most of that estimation loss.  One extra pair of matmuls +
+    one 5x5 solve; decisions that are wrong act as bounded noise in the
+    fit (standard decision-directed LS).
+
+    Returns the refitted coeff.
+    """
+    L = coeff.shape[-1]
+    C = window_matrix(symbols, start, n_data, L)
+    raw = C @ coeff
+    _, hard_raw = slice_qpsk(raw)
+    # Data amplitude is ~2x training; rescale targets to the data scale
+    # so the refit is self-consistent.
+    scale = jnp.mean(jnp.abs(raw), axis=-1, keepdims=True) / \
+        (jnp.mean(jnp.abs(hard_raw), axis=-1, keepdims=True) + 1e-12)
+    target = hard_raw * scale
+    A = C.conj().mT @ C
+    tr = (jnp.trace(A, axis1=-2, axis2=-1).real / L)[..., None, None]
+    A = A + (reg * tr + 1e-12) * jnp.eye(L, dtype=A.dtype)
+    b = C.conj().mT @ target
+    return chol_solve_hermitian(A, b)
+
+
 def phase_refine(raw, iterations: int = 2):
     """Decision-directed phase/frequency refinement, fully vectorized.
 
@@ -129,14 +157,20 @@ def phase_refine(raw, iterations: int = 2):
     n = raw.shape[-1]
     k = jnp.arange(n, dtype=jnp.float32)
     cur = raw
+    # Clamp corrections: the bulk CFO is already removed by the FFT
+    # search and the LS fit, so the genuine residual is small; an
+    # unclamped decision-directed estimator can lock 90 degrees off at
+    # low SNR (decisions and corrections reinforce each other).
+    a_max = np.float32(np.pi / 8.0)
+    b_max = np.float32(np.pi / 8.0 / max(n, 1))
     for _ in range(iterations):
         dibits, hard_raw = slice_qpsk(cur)
         z = cur * jnp.conj(hard_raw)
         inc = jnp.sum(z[..., 1:] * jnp.conj(z[..., :-1]), axis=-1)
-        b = jnp.angle(inc)
+        b = jnp.clip(jnp.angle(inc), -b_max, b_max)
         derot = jnp.exp(-1j * b[..., None] * k).astype(jnp.complex64)
         z0 = jnp.sum(z * derot, axis=-1)
-        a = jnp.angle(z0)
+        a = jnp.clip(jnp.angle(z0), -a_max, a_max)
         cur = cur * (jnp.exp(-1j * a)[..., None] * derot).astype(jnp.complex64)
     dibits, hard_raw = slice_qpsk(cur)
     # Amplitude-normalized decision error: the preamble trains at half

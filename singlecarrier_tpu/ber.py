@@ -1,0 +1,110 @@
+"""BER-vs-SNR measurement harness (BASELINE.json config #3).
+
+The reference has no BER instrumentation at all (its loopback never
+compares bits -- SURVEY.md section 4); this module closes the loop:
+synthesize known payloads, impair (AWGN/CFO/phase/timing), demodulate,
+count.  Everything batched: one jit call runs the whole sweep point.
+
+Theory anchor: coherent QPSK over AWGN has
+BER = Q(sqrt(2 Eb/N0)).  With noise injected at passband over the full
+fs bandwidth at measured in-band signal power S, Eb/N0 =
+SNR * fs / (2 rs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .channel import awgn, channel
+from .config import ModemConfig
+from .modem.rx_production import prod_rx_init, prod_rx_stream
+from .modem.tx import tx_stream
+
+
+def qpsk_theory_ber(ebn0_db) -> np.ndarray:
+    """Q(sqrt(2 Eb/N0)) for coherent Gray-coded QPSK."""
+    ebn0 = 10.0 ** (np.asarray(ebn0_db, np.float64) / 10.0)
+    return 0.5 * np.array([math.erfc(math.sqrt(x)) for x in
+                           np.atleast_1d(ebn0)])
+
+
+def snr_to_ebn0_db(snr_db, cfg: ModemConfig) -> float:
+    """Convert passband SNR (noise across full fs band) to Eb/N0."""
+    return snr_db + 10.0 * np.log10(cfg.fs / (2.0 * 2.0 * cfg.rs)) \
+        + 10.0 * np.log10(2.0)
+
+
+def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
+            phase_rad=0.0, delay=0.0, n_packets: int = 10,
+            n_trials: int = 4, drop_tail_bits: int = 0):
+    """One sweep point; returns dict with ber / detection stats.
+
+    ``n_trials`` independent channel realizations run as a vmap batch.
+    ``drop_tail_bits`` excludes the final bits of each packet from the
+    count (for reference-TX streams whose pulse tails are truncated --
+    see modem/tx.py _flushed_gap; our own TX uses flush_gap and needs
+    no exclusion).
+    """
+    kb, kn = jax.random.split(key)
+    bits = jax.random.randint(
+        kb, (n_packets, cfg.ns, cfg.data_symbols * 2), 0, 2, jnp.uint8)
+    pcm = tx_stream(cfg, bits, flush_gap=True)
+
+    n_blocks = -(-pcm.shape[-1] // cfg.frame_size) + 1
+    padded = jnp.zeros(n_blocks * cfg.frame_size, jnp.float32)
+    padded = padded.at[:pcm.shape[-1]].set(pcm.astype(jnp.float32))
+
+    keys = jax.random.split(kn, n_trials)
+
+    def one_trial(k):
+        x = channel(k, padded, snr_db=snr_db, freq_hz=freq_hz,
+                    phase_rad=phase_rad, delay=delay, fs=cfg.fs)
+        frames = x.reshape(n_blocks, cfg.frame_size)
+        _, out = prod_rx_stream(cfg, prod_rx_init(cfg), frames,
+                                descramble=False)
+        return out
+
+    out = jax.jit(jax.vmap(one_trial))(keys)
+
+    ref = np.asarray(bits).reshape(n_packets, cfg.bits_per_frame)
+    valid = np.asarray(out.valid)
+    got = np.asarray(out.bits)
+
+    total_bits = 0
+    err_bits = 0
+    detected = 0
+    sl = slice(None, None if drop_tail_bits == 0 else -drop_tail_bits)
+    for t in range(n_trials):
+        vidx = np.nonzero(valid[t])[0]
+        detected += len(vidx)
+        # align detected packets to sent packets in order
+        for i, fr in enumerate(vidx[:n_packets]):
+            g = got[t, fr][sl]
+            r = ref[i][sl]
+            total_bits += len(r)
+            err_bits += int((g != r).sum())
+        # undetected packets count as fully errored payload
+        missed = n_packets - min(len(vidx), n_packets)
+        total_bits += missed * len(ref[0][sl])
+        err_bits += missed * (len(ref[0][sl]) // 2)
+
+    return {
+        "ber": err_bits / max(total_bits, 1),
+        "detection_rate": detected / (n_trials * n_packets),
+        "snr_db": snr_db,
+        "ebn0_db": None if snr_db is None else snr_to_ebn0_db(snr_db, cfg),
+    }
+
+
+def ber_sweep(cfg: ModemConfig, snrs_db, key=None, **kw):
+    """BER at each SNR; returns list of ber_run dicts."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    out = []
+    for i, snr in enumerate(snrs_db):
+        out.append(ber_run(cfg, jax.random.fold_in(key, i),
+                           snr_db=float(snr), **kw))
+    return out

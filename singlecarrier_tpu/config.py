@@ -62,6 +62,7 @@ class ModemConfig:
     nlms_mu: float = 0.5          # production data-phase NLMS step size
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
     phase_refine_iters: int = 2   # decision-directed phase-ramp passes
+    ls_refit_iters: int = 1       # decision-directed LS refit passes
 
     # Scrambler ---------------------------------------------------------------
     scramble_seed: int = 0x4A80       # DVB LFSR sync seed   (scramble.h:16)

@@ -40,8 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..adaptive.ls_equalizer import (ls_decode, ls_train, phase_refine,
-                                     slice_qpsk)
+from ..adaptive.ls_equalizer import (ls_decode, ls_refit, ls_train,
+                                     phase_refine, slice_qpsk)
 from ..config import ModemConfig
 from ..constants import PREAMBLE_TABLE, PREAMBLE_VALUES, rrc_taps
 from ..dsp.correlate import preamble_corr_matrix, window_energy
@@ -157,8 +157,23 @@ def _train_and_decode(cfg: ModemConfig, symbols, lag):
     pre_real = jnp.asarray(PREAMBLE_VALUES.astype(np.float32))
     coeff, matches = ls_train(symbols, lag, pre_real, cfg.eq_length,
                               cfg.ls_reg)
-    raw = ls_decode(symbols, lag + cfg.preamble_length, coeff,
-                    cfg.frame_symbols)
+    start = lag + cfg.preamble_length
+    # Decision-directed refit: the preamble trains 6 dB below the data
+    # amplitude (qpsk.c:313-319); refitting on first-pass decisions
+    # recovers the estimation loss (adaptive/ls_equalizer.py ls_refit).
+    # Guard: keep the refit only if it scores at least as well on the
+    # KNOWN preamble chips (at low SNR decision-directed loops can
+    # reinforce their own errors).
+    from ..adaptive.ls_equalizer import window_matrix
+    C_pre = window_matrix(symbols, lag, cfg.preamble_length,
+                          cfg.eq_length)
+    for _ in range(cfg.ls_refit_iters):
+        cand = ls_refit(symbols, start, coeff, cfg.frame_symbols)
+        m_old = jnp.sum(((C_pre @ coeff).real * pre_real) > 0, axis=-1)
+        m_new = jnp.sum(((C_pre @ cand).real * pre_real) > 0, axis=-1)
+        keep = (m_new >= m_old)
+        coeff = jnp.where(keep[..., None], cand, coeff)
+    raw = ls_decode(symbols, start, coeff, cfg.frame_symbols)
     _, dibits, err = phase_refine(raw, iterations=cfg.phase_refine_iters)
     return matches, dibits, err
 

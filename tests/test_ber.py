@@ -1,0 +1,55 @@
+"""BER-vs-SNR harness tests (BASELINE.json config #3)."""
+
+import jax
+import numpy as np
+import pytest
+
+from singlecarrier_tpu.ber import ber_run, ber_sweep, qpsk_theory_ber
+from singlecarrier_tpu.config import DEFAULT_CONFIG as CFG
+
+
+@pytest.fixture(scope="module")
+def sweep():
+    return ber_sweep(CFG, [2.0, 6.0, 12.0], key=jax.random.PRNGKey(5),
+                     n_packets=4, n_trials=3)
+
+
+def test_ber_monotonic_in_snr(sweep):
+    bers = [p["ber"] for p in sweep]
+    assert bers[0] >= bers[1] >= bers[2]
+
+
+def test_high_snr_near_zero(sweep):
+    assert sweep[-1]["ber"] < 1e-3
+    assert sweep[-1]["detection_rate"] == 1.0
+
+
+def test_low_snr_detects(sweep):
+    # 2 dB passband SNR ~ 9 dB Eb/N0: preamble detection should hold
+    assert sweep[0]["detection_rate"] >= 0.75
+
+
+def test_theory_anchor(sweep):
+    """Measured BER within ~4.5 dB of the coherent QPSK theory curve.
+
+    Loss budget: +-0.5-sample timing quantization (no fractional
+    interpolator yet), 5-tap LS estimation noise from 128 half-amplitude
+    training chips, phase-estimation noise.  Tightening this bound is
+    tracked work (fractional timing recovery).
+    """
+    p = sweep[1]   # 6 dB passband
+    worse = qpsk_theory_ber(p["ebn0_db"] - 4.5)[0]
+    assert p["ber"] <= worse + 0.02, (p, worse)
+
+
+def test_clean_channel_zero_ber():
+    p = ber_run(CFG, jax.random.PRNGKey(6), snr_db=None, n_packets=3,
+                n_trials=1)
+    assert p["ber"] == 0.0
+    assert p["detection_rate"] == 1.0
+
+
+def test_theory_curve_values():
+    # Q(sqrt(2*Eb/N0)) spot checks
+    assert abs(qpsk_theory_ber(0.0)[0] - 0.0786) < 1e-3
+    assert abs(qpsk_theory_ber(9.6)[0] - 1.0e-5) < 5e-6
