@@ -1,0 +1,156 @@
+"""Pallas fused RX front-end: int16 PCM -> matched-filtered baseband.
+
+Fuses the first RX stages (reference: src/qpsk.c:138-162 -- downmix,
+RRC matched filter) into ONE kernel so the [C, 1880] complex
+intermediates never round-trip HBM: per channel block, the kernel
+
+  1. converts int16 PCM to float and downmixes against the per-channel
+     carrier phasor times the (host-precomputed, float64-accurate)
+     relative ramp table,
+  2. applies the 49-tap RRC as 49 shifted multiply-accumulates over the
+     VMEM-resident [tail | block] buffer (overlap-save, fir.c:22-43
+     semantics).
+
+Decimation afterwards is a free strided reshape; the 48-sample FIR
+tail and the phase advance are recomputed outside the kernel from the
+raw inputs (a handful of elementwise ops) so the kernel has exactly
+one fat output -- mixed skinny/fat output blocks triggered whole-array
+VMEM staging in XLA's layout assignment on this backend.
+
+Complex data travels as separate real/imag planes: Mosaic has no
+complex dtype, and the axon backend cannot transfer complex across
+host<->device anyway (utils/compat.py).
+
+The XLA implementation (frontend_reference) is the correctness oracle;
+tests compare both paths in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModemConfig
+from ..constants import rrc_taps
+from ..dsp.fir import fir_block
+from ..dsp.mixer import mix_block, mixer_table
+
+
+def _kernel(pcm_ref, ph_ref, tail_ref, tab_ref, taps_ref, out_ref,
+            z_ref, *, n: int, ntaps: int, inv_scale: float,
+            gain: float):
+    halo = ntaps - 1
+    x = pcm_ref[...].astype(jnp.float32) * inv_scale       # [CB, n]
+
+    # Downmix: real PCM x complex (phase * table): two real products.
+    pr = ph_ref[:, 0:1, 0]                                 # [CB, 1]
+    pi = ph_ref[:, 1:2, 0]
+    tr = tab_ref[0, 0:1, :]                                # [1, n]
+    ti = tab_ref[0, 1:2, :]
+    z_ref[:, 0, :halo] = tail_ref[:, 0, :]
+    z_ref[:, 1, :halo] = tail_ref[:, 1, :]
+    z_ref[:, 0, halo:] = x * (pr * tr - pi * ti)
+    z_ref[:, 1, halo:] = x * (pr * ti + pi * tr)
+
+    # 49 shifted MACs: y[t] = gain * sum_k taps[k] * z[t + k].
+    acc_r = jnp.zeros_like(x)
+    acc_i = jnp.zeros_like(x)
+    zr = z_ref[:, 0, :]
+    zi = z_ref[:, 1, :]
+    for k in range(ntaps):
+        w = taps_ref[0, 0, k]
+        acc_r += w * zr[:, k:k + n]
+        acc_i += w * zi[:, k:k + n]
+    out_ref[:, 0, :] = acc_r * gain
+    out_ref[:, 1, :] = acc_i * gain
+
+
+def fused_frontend(cfg: ModemConfig, pcm, phase_r, phase_i,
+                   tail_r, tail_i, *, block_channels: int = 256,
+                   interpret: bool = False):
+    """Run the fused front-end.
+
+    Args:
+      pcm:     [C, frame_size] int16.
+      phase_r/phase_i: [C] mixer phasor planes.
+      tail_r/tail_i:   [C, ntaps-1] FIR halo planes (last downmixed
+                       samples of the previous block).
+
+    Returns (filt_r, filt_i, new_tail_r, new_tail_i, new_phase_r,
+    new_phase_i); filt_* are [C, frame_size] matched-filter outputs.
+    """
+    n = cfg.frame_size
+    ntaps = cfg.ntaps
+    halo = ntaps - 1
+    C = pcm.shape[0]
+    cb = min(block_channels, C)
+    assert C % cb == 0, (C, cb)
+
+    table = mixer_table(-cfg.center, cfg.fs, n)
+    tab = jnp.asarray(
+        np.stack([table.real, table.imag]).reshape(1, 2, n))
+    taps_np = rrc_taps(cfg.alpha, cfg.ntaps)
+    taps = jnp.asarray(taps_np.reshape(1, 1, ntaps))
+    phases = jnp.stack([phase_r, phase_i], axis=1)[..., None]  # [C,2,1]
+    tails = jnp.stack([tail_r, tail_i], axis=1)                # [C,2,halo]
+
+    kern = functools.partial(
+        _kernel, n=n, ntaps=ntaps, inv_scale=1.0 / cfg.tx_amplitude,
+        gain=cfg.fir_gain)
+
+    filt = pl.pallas_call(
+        kern,
+        grid=(C // cb,),
+        in_specs=[
+            pl.BlockSpec((cb, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 2, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 2, halo), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ntaps), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, 2, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, 2, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((cb, 2, n + halo), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pcm, phases, tails, tab, taps)
+
+    filt_r = filt[:, 0, :]
+    filt_i = filt[:, 1, :]
+
+    # New FIR tail: last `halo` downmixed samples, recomputed directly
+    # from the raw inputs (cheap; keeps the kernel single-output).
+    x_t = pcm[:, n - halo:].astype(jnp.float32) / cfg.tx_amplitude
+    tr_t = jnp.asarray(table.real[n - halo:])
+    ti_t = jnp.asarray(table.imag[n - halo:])
+    ntail_r = x_t * (phase_r[:, None] * tr_t - phase_i[:, None] * ti_t)
+    ntail_i = x_t * (phase_r[:, None] * ti_t + phase_i[:, None] * tr_t)
+
+    # Phase advance.
+    adv = table[n - 1]
+    npr = phase_r * np.float32(adv.real) - phase_i * np.float32(adv.imag)
+    npi = phase_r * np.float32(adv.imag) + phase_i * np.float32(adv.real)
+    mag = jnp.sqrt(npr * npr + npi * npi)
+    return filt_r, filt_i, ntail_r, ntail_i, npr / mag, npi / mag
+
+
+def frontend_reference(cfg: ModemConfig, pcm, phase, tail):
+    """XLA oracle: mixer + FIR (dsp/mixer.py, dsp/fir.py)."""
+    x = pcm.astype(jnp.float32) / cfg.tx_amplitude
+    raw, new_phase = mix_block(x, phase, -cfg.center, cfg.fs)
+    taps = rrc_taps(cfg.alpha, cfg.ntaps)
+    filt, new_tail = fir_block(taps, cfg.fir_gain, tail, raw)
+    return filt, new_tail, new_phase
