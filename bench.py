@@ -29,9 +29,9 @@ REALTIME_SAMPLES_PER_CHIP = 1.0e9  # 1M ch x 8 kHz / 8 chips
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--channels", type=int, default=4096)
+    ap.add_argument("--channels", type=int, default=2048)
     ap.add_argument("--blocks", type=int, default=4)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--warmup", type=int, default=2)
     args = ap.parse_args()
 
@@ -40,33 +40,36 @@ def main() -> None:
 
     from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
     from singlecarrier_tpu.modem import prod_rx_init
-    from singlecarrier_tpu.modem.rx_production import prod_rx_stream
+    from singlecarrier_tpu.modem.rx_production import prod_rx_stream_pallas
 
     C, B = args.channels, args.blocks
 
     @jax.jit
     def synth(key):
+        # [blocks, channels, frame_size] stream, synthesized on device
         return jax.random.randint(
-            key, (C, B, cfg.frame_size), -16384, 16384, jnp.int16)
+            key, (B, C, cfg.frame_size), -16384, 16384, jnp.int16)
 
     @jax.jit
     def step(state, pcm):
-        return jax.vmap(lambda st, p: prod_rx_stream(cfg, st, p))(state, pcm)
+        st, out = prod_rx_stream_pallas(cfg, state, pcm)
+        # scalar checksum forces real completion through the tunnel
+        return st, out.valid.sum().astype(jnp.float32) + out.eq_error.sum()
 
     key = jax.random.PRNGKey(0)
     pcm = synth(key)
     state = prod_rx_init(cfg, (C,))
-    jax.block_until_ready(pcm)
 
-    # warmup / compile
+    # warmup / compile (float() fetch = hard sync; complex leaves must
+    # never be fetched on this backend -- utils/compat.py)
     for _ in range(args.warmup):
-        out_state, out = step(state, pcm)
-        jax.block_until_ready(out_state)
+        state, chk = step(state, pcm)
+        float(chk)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out_state, out = step(out_state, pcm)
-    jax.block_until_ready(out_state)
+        state, chk = step(state, pcm)
+        float(chk)
     dt = time.perf_counter() - t0
 
     samples = C * B * cfg.frame_size * args.iters

@@ -60,6 +60,8 @@ class ModemConfig:
                                   # coherent correlator)
     cfo_nfft: int = 512           # zero-padded FFT size for CFO search
     nlms_mu: float = 0.5          # production data-phase NLMS step size
+    hunt_dtype: str = "bf16"      # correlation-hunt matmul precision
+                                  # ("bf16" | "f32"); peak statistic only
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
     phase_refine_iters: int = 2   # decision-directed phase-ramp passes
     ls_refit_iters: int = 1       # decision-directed LS refit passes

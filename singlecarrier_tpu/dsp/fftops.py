@@ -64,14 +64,24 @@ def estimate_cfo(chips, pn, symbol_rate: float, *, nfft: int = 512,
     # cannot cross to device on the axon backend -- utils/compat.py)
     tone = chips * pn
     if method == "dft":
-        # Zero-padded spectrum as one matmul (MXU) instead of a batched
-        # length-nfft FFT of a length-P signal: [.., P] @ [P, nfft].
-        from ..utils.compat import device_complex
-        w = device_complex(_dft_matrix(int(tone.shape[-1]), int(nfft)))
-        spec = tone @ w
+        # Zero-padded spectrum as matmuls (MXU) instead of a batched
+        # length-nfft FFT of a length-P signal, in bf16: the spectrum
+        # only feeds a peak search + parabolic interpolation, well
+        # within bf16's ~3 significant digits.
+        wm = _dft_matrix(int(tone.shape[-1]), int(nfft))
+        wr = jnp.asarray(wm.real).astype(jnp.bfloat16)
+        wi = jnp.asarray(wm.imag).astype(jnp.bfloat16)
+        tr = tone.real.astype(jnp.bfloat16)
+        ti = tone.imag.astype(jnp.bfloat16)
+        f32 = jnp.float32
+        sr = jnp.matmul(tr, wr, preferred_element_type=f32) \
+            - jnp.matmul(ti, wi, preferred_element_type=f32)
+        si = jnp.matmul(tr, wi, preferred_element_type=f32) \
+            + jnp.matmul(ti, wr, preferred_element_type=f32)
+        power = sr * sr + si * si
     else:
         spec = jnp.fft.fft(tone, n=nfft, axis=-1)
-    power = spec.real ** 2 + spec.imag ** 2
+        power = spec.real ** 2 + spec.imag ** 2
     k = jnp.argmax(power, axis=-1)
 
     # Parabolic interpolation around the peak for sub-bin accuracy.

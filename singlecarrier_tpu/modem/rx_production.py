@@ -80,20 +80,27 @@ def prod_rx_init(cfg: ModemConfig, batch_shape=()) -> ProdRxState:
 
 
 @functools.lru_cache(maxsize=8)
-def _segment_kernels(n_segments: int):
-    """Real +/-1 chip kernels, one per correlation segment.
+def _segment_band_matrix(n_lags: int, n_segments: int, p: int):
+    """Banded correlation matrix B[w, l*n_seg + s] = v[16s + k] at
+    w = l + 16s + k.
 
     The preamble chip c_k = v_k * (1+j) with v_k real +/-1
     (qpsk.c:361-365), so the (non-conjugated, qpsk.c:92) correlation
-    factors: sum c_k s[l+k] = (1+j) * conv(v, s) -- a REAL-kernel
-    convolution of the complex symbols, and |corr|^2 =
-    2 * |conv(v, s)|^2.  Splitting v into segments gives the
-    CFO-tolerant non-coherent hunt at conv cost (16-tap kernels)
-    instead of dense banded matmuls.
+    factors: sum c_k s[l+k] = (1+j) * (real-kernel correlation), and
+    |corr|^2 = 2 * |...|^2.  Splitting v into ``n_segments`` pieces
+    gives the CFO-tolerant non-coherent hunt; one dense [win,
+    n_lags*n_seg] matmul computes every (lag, segment) partial sum --
+    MXU-shaped, and tolerant of bf16 (it is only a peak statistic).
     """
     v = PREAMBLE_VALUES.astype(np.float32)
-    seg = len(v) // n_segments
-    return v[:n_segments * seg].reshape(n_segments, 1, seg)
+    seg = p // n_segments
+    win = n_lags + p - 1
+    b = np.zeros((win, n_lags * n_segments), np.float32)
+    for l in range(n_lags):
+        for s in range(n_segments):
+            for k in range(seg):
+                b[l + s * seg + k, l * n_segments + s] = v[s * seg + k]
+    return b
 
 
 def _hunt(cfg: ModemConfig, windows):
@@ -103,35 +110,29 @@ def _hunt(cfg: ModemConfig, windows):
     (a leading batch axis is also supported).  Returns
     (lag, phase_idx, peak, energy_at_peak).
 
-    Metric: sum_s 2*|conv(v_s, sym)[l + s*seg]|^2 over the
-    ``corr_segments`` pieces of the PN -- segments combine by power so
-    a carrier offset cannot cancel the sum; n_segments=1 recovers the
-    reference's coherent correlator (qpsk.c:88-96) up to the constant
-    factor 2.
+    Metric: sum_s 2*|corr_s(l)|^2 over the ``corr_segments`` pieces of
+    the PN -- segments combine by power so a carrier offset cannot
+    cancel the sum; n_segments=1 recovers the reference's coherent
+    correlator (qpsk.c:88-96) up to the constant factor 2.  Computed as
+    one banded matmul in ``hunt_dtype`` (bf16 by default: the MXU runs
+    it ~8x faster than f32 and a peak statistic does not need more).
     """
     n_lags = cfg.symbols_per_block
     p = cfg.preamble_length
     n_seg = cfg.corr_segments
-    seg = p // n_seg
-    kernels = jnp.asarray(_segment_kernels(n_seg))     # [seg_n, 1, seg]
+    mat = jnp.asarray(_segment_band_matrix(n_lags, n_seg, p))
 
     batch_shape = windows.shape[:-2]
     cyc = windows.shape[-2]
     w = windows[..., :n_lags + p - 1]
-    n_in = w.shape[-1]
-    # real/imag planes as conv batch: [B*cyc*2, 1, n_in]
-    planes = jnp.stack([w.real, w.imag], axis=-2)
-    planes = planes.reshape(-1, 1, n_in)
-    conv = lax.conv_general_dilated(
-        planes, kernels, window_strides=(1,), padding="VALID")
-    # [B, cyc, 2, seg_n, n_in - seg + 1]
-    conv = conv.reshape(*batch_shape, cyc, 2, n_seg, n_in - seg + 1)
-    # segment s contributes at lag l from conv position l + s*seg
-    parts = [lax.slice_in_dim(conv[..., s, :], s * seg, s * seg + n_lags,
-                              axis=-1)
-             for s in range(n_seg)]
-    stk = jnp.stack(parts, axis=-2)                    # [B, cyc, 2, seg_n, lags]
-    power = 2.0 * (stk ** 2).sum(axis=(-3, -2))        # [B, cyc, lags]
+    dt = jnp.bfloat16 if cfg.hunt_dtype == "bf16" else jnp.float32
+    # real/imag planes: [..., cyc*2, win] @ [win, lags*seg]
+    planes = jnp.stack([w.real, w.imag], axis=-2).astype(dt)
+    planes = planes.reshape(*batch_shape, cyc * 2, -1)
+    corr = jnp.matmul(planes, mat.astype(dt),
+                      preferred_element_type=jnp.float32)
+    corr = corr.reshape(*batch_shape, cyc, 2, n_lags, n_seg)
+    power = 2.0 * (corr * corr).sum(axis=(-3, -1))     # [B, cyc, lags]
 
     flat = power.reshape(*batch_shape, -1)
     idx = jnp.argmax(flat, axis=-1)
@@ -178,26 +179,23 @@ def _train_and_decode(cfg: ModemConfig, symbols, lag):
     return matches, dibits, err
 
 
-def prod_rx_frame(cfg: ModemConfig, state: ProdRxState, pcm, *,
-                  descramble: bool = True):
-    """Demodulate one frame_size block; returns ``(state, ProdRxOut)``.
+def prod_rx_backend(cfg: ModemConfig, decim_prev, filtered, *,
+                    descramble: bool = True):
+    """Post-filter demodulation: decimate -> hunt -> CFO -> equalize.
 
-    Single-channel; ``jax.vmap`` supplies the channel axis.
+    Single-channel; takes the matched-filter output ``filtered``
+    [frame_size] complex plus the previous block's decimated phases
+    ``decim_prev`` [cycles, n_sym].  Returns ``(decim_cur, ProdRxOut)``.
+    Split out so the front-end can come from either the XLA path or the
+    Pallas fused kernel (ops/frontend_pallas.py).
     """
     n_sym = cfg.symbols_per_block
-    taps = rrc_taps(cfg.alpha, cfg.ntaps)
-
-    # Downmix + matched filter the CURRENT block (streaming halo; no
-    # double-buffer latency).
-    x = pcm.astype(jnp.float32) / cfg.tx_amplitude
-    raw, phase = mix_block(x, state.phase, -cfg.center, cfg.fs)
-    filtered, fir_tail = fir_block(taps, cfg.fir_gain, state.fir_tail, raw)
 
     # All 5 decimation phases at once: [cycles, n_sym].
     decim_cur = filtered.reshape(n_sym, cfg.cycles).T
 
     # Two-block hunt windows per phase: [cycles, 2*n_sym].
-    windows = jnp.concatenate([state.decim_prev, decim_cur], axis=-1)
+    windows = jnp.concatenate([decim_prev, decim_cur], axis=-1)
 
     lag, phase_idx, peak, energy = _hunt(cfg, windows)
     gated = peak > energy * cfg.peak_gate
@@ -232,13 +230,34 @@ def prod_rx_frame(cfg: ModemConfig, state: ProdRxState, pcm, *,
     bits = jnp.stack([dibits & 1, dibits >> 1], axis=-1).reshape(
         *dibits.shape[:-1], -1).astype(jnp.uint8)
 
-    new_state = ProdRxState(phase=phase, fir_tail=fir_tail,
-                            decim_prev=decim_cur)
     out = ProdRxOut(
         valid=valid, bits=bits, matches=matches, lag=lag,
         timing_phase=phase_idx, peak=peak, energy=energy,
         cfo_hz=cfo_hz, eq_error=eq_error,
     )
+    return decim_cur, out
+
+
+def prod_rx_frame(cfg: ModemConfig, state: ProdRxState, pcm, *,
+                  descramble: bool = True):
+    """Demodulate one frame_size block; returns ``(state, ProdRxOut)``.
+
+    Single-channel; ``jax.vmap`` supplies the channel axis.  XLA
+    front-end (dsp/mixer.py + dsp/fir.py); for the Pallas fused
+    front-end use ``prod_rx_stream_pallas``.
+    """
+    taps = rrc_taps(cfg.alpha, cfg.ntaps)
+
+    # Downmix + matched filter the CURRENT block (streaming halo; no
+    # double-buffer latency).
+    x = pcm.astype(jnp.float32) / cfg.tx_amplitude
+    raw, phase = mix_block(x, state.phase, -cfg.center, cfg.fs)
+    filtered, fir_tail = fir_block(taps, cfg.fir_gain, state.fir_tail, raw)
+
+    decim_cur, out = prod_rx_backend(cfg, state.decim_prev, filtered,
+                                     descramble=descramble)
+    new_state = ProdRxState(phase=phase, fir_tail=fir_tail,
+                            decim_prev=decim_cur)
     return new_state, out
 
 
@@ -251,8 +270,46 @@ def prod_rx_stream(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     return lax.scan(body, state, pcm_frames)
 
 
+def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
+                          pcm_frames, *, descramble: bool = True,
+                          block_channels: int = 256,
+                          interpret: bool = False):
+    """Batched stream demod with the Pallas fused front-end.
+
+    ``state``: channel-batched ProdRxState ([C] leading axis);
+    ``pcm_frames``: [n_frames, C, frame_size] int16.  The front-end
+    (int16 -> downmix -> RRC) runs as one VMEM-resident kernel per
+    channel block (ops/frontend_pallas.py); the back half runs vmapped.
+    """
+    from ..ops.frontend_pallas import fused_frontend
+
+    def body(st, pcm):
+        fr, fi, ntr, nti, npr, npi = fused_frontend(
+            cfg, pcm, st.phase.real, st.phase.imag,
+            st.fir_tail.real, st.fir_tail.imag,
+            block_channels=block_channels, interpret=interpret)
+        filtered = lax.complex(fr, fi)
+        decim_cur, out = jax.vmap(
+            lambda dp, f: prod_rx_backend(cfg, dp, f,
+                                          descramble=descramble)
+        )(st.decim_prev, filtered)
+        new_state = ProdRxState(
+            phase=lax.complex(npr, npi),
+            fir_tail=lax.complex(ntr, nti),
+            decim_prev=decim_cur)
+        return new_state, out
+
+    return lax.scan(body, state, pcm_frames)
+
+
 def make_prod_rx_fn(cfg: ModemConfig, *, descramble: bool = True,
-                    batched: bool = False):
+                    batched: bool = False, pallas: bool = False):
+    if pallas:
+        def fn(state, pcm_frames):
+            return prod_rx_stream_pallas(cfg, state, pcm_frames,
+                                         descramble=descramble)
+        return jax.jit(fn)
+
     def fn(state, pcm_frames):
         return prod_rx_stream(cfg, state, pcm_frames, descramble=descramble)
 

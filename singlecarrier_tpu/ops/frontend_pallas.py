@@ -58,17 +58,16 @@ def _kernel(pcm_ref, ph_ref, tail_ref, tab_ref, taps_ref, out_ref,
     z_ref[:, 0, halo:] = x * (pr * tr - pi * ti)
     z_ref[:, 1, halo:] = x * (pr * ti + pi * tr)
 
-    # 49 shifted MACs: y[t] = gain * sum_k taps[k] * z[t + k].
-    acc_r = jnp.zeros_like(x)
-    acc_i = jnp.zeros_like(x)
-    zr = z_ref[:, 0, :]
-    zi = z_ref[:, 1, :]
+    # 49 shifted MACs: y[t] = sum_k (gain*taps[k]) * z[t + k].
+    # Static shift offsets (Mosaic requires lane-dim indices provably
+    # 128-aligned for dynamic slices), accumulating THROUGH the output
+    # ref in VMEM: a fully register-resident accumulation at this tile
+    # size spills the register allocator by >100MB.
+    out_ref[...] = jnp.zeros_like(out_ref)
     for k in range(ntaps):
-        w = taps_ref[0, 0, k]
-        acc_r += w * zr[:, k:k + n]
-        acc_i += w * zi[:, k:k + n]
-    out_ref[:, 0, :] = acc_r * gain
-    out_ref[:, 1, :] = acc_i * gain
+        w = taps_ref[0, 0, k] * gain
+        out_ref[:, 0, :] += w * z_ref[:, 0, k:k + n]
+        out_ref[:, 1, :] += w * z_ref[:, 1, k:k + n]
 
 
 def fused_frontend(cfg: ModemConfig, pcm, phase_r, phase_i,
