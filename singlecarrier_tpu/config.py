@@ -129,6 +129,20 @@ class ModemConfig:
         """Carried FIR state: NTAPS-1 samples (fir.c:30-34)."""
         return self.ntaps - 1
 
+    @property
+    def pkt_window(self) -> int:
+        """Aligned packet-extraction window (production RX).
+
+        Covers eq left margin + preamble + all data symbols + eq right
+        margin = P + D + L - 1 symbols, rounded up for layout.  For a
+        preamble at the very last searchable lag the final eq window's
+        forward margin is clamped (stale by <= 1 symbol) -- affects
+        1/376 of stream positions' last data symbol only.
+        """
+        need = (self.preamble_length + self.frame_symbols
+                + self.eq_length - 1)
+        return -(-need // 8) * 8
+
     def __post_init__(self) -> None:
         if self.fs <= 0 or self.rs <= 0:
             raise ValueError("fs and rs must be positive")

@@ -139,26 +139,29 @@ def _hunt(cfg: ModemConfig, windows):
     peak = jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]
     phase_idx = (idx // n_lags).astype(jnp.int32)
     lag = (idx % n_lags).astype(jnp.int32)
+    # Window energy at the peak is computed later from the extracted
+    # packet (avoids a full [cyc, 2*n_sym] cumsum whose only consumer
+    # is one value).
+    return lag, phase_idx, peak
 
-    energy = window_energy(windows, p, n_lags)         # [B, cyc, lags]
-    eflat = energy.reshape(*batch_shape, -1)
-    e_at = jnp.take_along_axis(eflat, idx[..., None], -1)[..., 0]
-    return lag, phase_idx, peak, e_at
 
-
-def _train_and_decode(cfg: ModemConfig, symbols, lag):
+def _train_and_decode(cfg: ModemConfig, pkt):
     """Closed-form equalizer fit + one-shot packet decode (no scans).
 
-    ``symbols``: [2*n_sym] CFO-corrected window at the winning phase.
-    Replaces the reference's serial train_eq x128 / data_eq recursion
-    (qpsk.c:186-215) with the batch least-squares fit of the same
-    problem (adaptive/ls_equalizer.py) -- the per-packet work is two
-    matmuls, a 5x5 solve, and a vectorized phase refinement.
+    ``pkt``: [pkt_window] CFO-corrected symbols ALIGNED so the first
+    preamble chip sits at index L//2 (see prod_rx_backend: one dynamic
+    gather extracts the packet; every offset here is static, so all
+    window matrices are static slices).  Replaces the reference's
+    serial train_eq x128 / data_eq recursion (qpsk.c:186-215) with the
+    batch least-squares fit of the same problem
+    (adaptive/ls_equalizer.py) -- the per-packet work is two matmuls, a
+    5x5 solve, and a vectorized phase refinement.
     """
+    off = cfg.eq_length // 2
     pre_real = jnp.asarray(PREAMBLE_VALUES.astype(np.float32))
-    coeff, matches = ls_train(symbols, lag, pre_real, cfg.eq_length,
+    coeff, matches = ls_train(pkt, off, pre_real, cfg.eq_length,
                               cfg.ls_reg)
-    start = lag + cfg.preamble_length
+    start = off + cfg.preamble_length
     # Decision-directed refit: the preamble trains 6 dB below the data
     # amplitude (qpsk.c:313-319); refitting on first-pass decisions
     # recovers the estimation loss (adaptive/ls_equalizer.py ls_refit).
@@ -166,15 +169,14 @@ def _train_and_decode(cfg: ModemConfig, symbols, lag):
     # KNOWN preamble chips (at low SNR decision-directed loops can
     # reinforce their own errors).
     from ..adaptive.ls_equalizer import window_matrix
-    C_pre = window_matrix(symbols, lag, cfg.preamble_length,
-                          cfg.eq_length)
+    C_pre = window_matrix(pkt, off, cfg.preamble_length, cfg.eq_length)
     for _ in range(cfg.ls_refit_iters):
-        cand = ls_refit(symbols, start, coeff, cfg.frame_symbols)
+        cand = ls_refit(pkt, start, coeff, cfg.frame_symbols)
         m_old = jnp.sum(((C_pre @ coeff).real * pre_real) > 0, axis=-1)
         m_new = jnp.sum(((C_pre @ cand).real * pre_real) > 0, axis=-1)
         keep = (m_new >= m_old)
         coeff = jnp.where(keep[..., None], cand, coeff)
-    raw = ls_decode(symbols, start, coeff, cfg.frame_symbols)
+    raw = ls_decode(pkt, start, coeff, cfg.frame_symbols)
     _, dibits, err = phase_refine(raw, iterations=cfg.phase_refine_iters)
     return matches, dibits, err
 
@@ -197,29 +199,44 @@ def prod_rx_backend(cfg: ModemConfig, decim_prev, filtered, *,
     # Two-block hunt windows per phase: [cycles, 2*n_sym].
     windows = jnp.concatenate([decim_prev, decim_cur], axis=-1)
 
-    lag, phase_idx, peak, energy = _hunt(cfg, windows)
-    gated = peak > energy * cfg.peak_gate
+    lag, phase_idx, peak = _hunt(cfg, windows)
 
-    # The winning phase's window.
+    # Extract the aligned packet window [pkt_window]: select the
+    # winning phase, then ONE dynamic slice from lag - L//2 (so the
+    # first chip sits at static index L//2 and every downstream offset
+    # is static -- replaces half a dozen per-channel dynamic windows
+    # and shrinks the de-rotation from the 752-window to the packet).
+    # dynamic_slice (scalar start) is much cheaper than an index-array
+    # gather on TPU.
+    off = cfg.eq_length // 2
+    pkt_len = cfg.pkt_window
     symbols = jnp.take_along_axis(
         windows, phase_idx[..., None, None].astype(jnp.int32), axis=-2
     )[..., 0, :]
+    pad = [(0, 0)] * (symbols.ndim - 1) + [(off, pkt_len)]
+    sympad = jnp.pad(symbols, pad)
+    pkt = lax.dynamic_slice_in_dim(sympad, lag, pkt_len, axis=-1)
+
+    # Energy gate (the gate the reference commented out, qpsk.c:196):
+    # window energy at the peak, from the extracted packet.
+    chips = pkt[..., off:off + cfg.preamble_length]
+    energy = jnp.sum(chips.real ** 2 + chips.imag ** 2, axis=-1)
+    gated = peak > energy * cfg.peak_gate
 
     # FFT-based CFO search over the detected chips (promoted feature;
     # the reference's fft.c is dead code -- SURVEY.md quirk #4).
-    chips = lax.dynamic_slice_in_dim(symbols, lag, cfg.preamble_length)
     pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32))
     cfo_hz, _ = estimate_cfo(chips, pn, cfg.rs, nfft=cfg.cfo_nfft)
     cfo_hz = jnp.where(gated, cfo_hz, 0.0)
 
-    # De-rotate the whole window so training and data see a stable
-    # constellation; rotation is anchored at the preamble start.
-    k = jnp.arange(2 * n_sym, dtype=jnp.float32) - lag.astype(jnp.float32)
+    # De-rotate so training and data see a stable constellation;
+    # rotation anchored at the preamble start (static index off).
+    k = jnp.arange(pkt_len, dtype=jnp.float32) - off
     rot = jnp.exp(-1j * (2.0 * np.pi / cfg.rs) * cfo_hz * k
                   ).astype(jnp.complex64)
-    symbols_corr = symbols * rot
+    pkt = pkt * rot
 
-    matches, dibits, eq_error = _train_and_decode(cfg, symbols_corr, lag)
+    matches, dibits, eq_error = _train_and_decode(cfg, pkt)
     valid = gated & (matches > cfg.match_threshold)
 
     if descramble:
