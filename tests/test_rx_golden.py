@@ -14,11 +14,11 @@ from singlecarrier_tpu.config import DEFAULT_CONFIG as CFG
 from singlecarrier_tpu.modem import make_rx_stream_fn, rx_init
 
 
-def _run_rx(pcm: np.ndarray):
+def _run_rx(pcm: np.ndarray, freq_offset: float = 0.0):
     nframes = len(pcm) // CFG.frame_size
     frames = jnp.asarray(
         pcm[:nframes * CFG.frame_size].reshape(nframes, CFG.frame_size))
-    fn = make_rx_stream_fn(CFG)
+    fn = make_rx_stream_fn(CFG, freq_offset=freq_offset)
     state, out = fn(rx_init(CFG), frames)
     return state, jax.tree.map(np.asarray, out)
 
@@ -74,3 +74,16 @@ def test_batched_rx_matches_single(golden_raw):
                               np.asarray(single.valid))
         assert np.array_equal(np.asarray(batched.bits[c]),
                               np.asarray(single.bits))
+
+
+def test_rx_with_frequency_offset_matches_reference(golden, golden_raw):
+    """Faithful-mode parity with the reference compiled at FOFFSET=20 Hz
+    (the compile-time offset knob, qpsk.c:67) -- BASELINE config #2's
+    faithful anchor."""
+    _, out = _run_rx(golden_raw, freq_offset=20.0)
+    assert np.array_equal(out.valid.astype(np.int32),
+                          golden["f20_rxg_valid"])
+    assert np.array_equal(out.max_index, golden["f20_rxg_max_index"])
+    assert np.array_equal(out.matches, golden["f20_rxg_matches"])
+    valid = golden["f20_rxg_valid"].astype(bool)
+    assert np.array_equal(out.bits[valid], golden["f20_rxg_bits"][valid])

@@ -35,7 +35,7 @@ float golden_last_max_value, golden_last_mean;
 """
 
 
-def patch_qpsk(src: str) -> str:
+def patch_qpsk(src: str, foffset: float = 0.0) -> str:
     # Fix the OOB buffer (SURVEY.md quirk #1): intended size is
     # 2 * FRAME_SIZE / CYCLES = 752.
     assert "decimated_frame[562]" in src
@@ -57,22 +57,27 @@ def patch_qpsk(src: str) -> str:
     assert "int main(int argc, char** argv)" in src
     src = src.replace("int main(int argc, char** argv)",
                       "static int reference_main_unused(int argc, char** argv)")
+    # RX carrier-offset knob (the reference's compile-time FOFFSET,
+    # qpsk.c:67) -- a second build exercises faithful-mode offset parity.
+    assert "#define FOFFSET 0.0f" in src
+    src = src.replace("#define FOFFSET 0.0f",
+                      f"#define FOFFSET {foffset}f")
     return PROLOGUE + src
 
 
-def build() -> pathlib.Path:
+def build(foffset: float = 0.0, tag: str = "") -> pathlib.Path:
     BUILD.mkdir(exist_ok=True)
-    qpsk = patch_qpsk((REF / "src/qpsk.c").read_text())
+    qpsk = patch_qpsk((REF / "src/qpsk.c").read_text(), foffset)
     harness = (REPO / "tools/harness/golden_main.c").read_text()
-    (BUILD / "golden_qpsk.c").write_text(
+    (BUILD / f"golden_qpsk{tag}.c").write_text(
         qpsk
         + "\nextern complex float eq_coeff[];\n"
         + harness
     )
-    exe = BUILD / "golden"
+    exe = BUILD / f"golden{tag}"
     cmd = [
         "gcc", "-O2", "-std=c99", "-I", str(REF / "headers"),
-        str(BUILD / "golden_qpsk.c"),
+        str(BUILD / f"golden_qpsk{tag}.c"),
         str(REF / "src/constants.c"),
         str(REF / "src/fir.c"),
         str(REF / "src/kalman.c"),
@@ -149,6 +154,16 @@ def main() -> None:
     res = subprocess.run([str(exe)], capture_output=True, text=True,
                          check=True)
     data = parse(res.stdout)
+
+    # Second build with a 20 Hz RX carrier offset: faithful-mode
+    # frequency-offset parity fixtures (keys prefixed f20_).
+    exe20 = build(foffset=20.0, tag="_f20")
+    res20 = subprocess.run([str(exe20)], capture_output=True, text=True,
+                           check=True)
+    data20 = parse(res20.stdout)
+    for k in list(data20.keys()):
+        if k.startswith("rxg_") or k.startswith("rxt_"):
+            data[f"f20_{k}"] = data20[k]
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **data)
     print(f"wrote {OUT} with keys: {sorted(data.keys())}")
