@@ -58,7 +58,7 @@ class ModemConfig:
     corr_segments: int = 8        # non-coherent correlation segments
                                   # (CFO-tolerant hunt; 1 = reference's
                                   # coherent correlator)
-    cfo_nfft: int = 512           # zero-padded FFT size for CFO search
+    cfo_nfft: int = 256           # zero-padded DFT size for CFO search
     nlms_mu: float = 0.5          # production data-phase NLMS step size
     hunt_dtype: str = "bf16"      # correlation-hunt matmul precision
                                   # ("bf16" | "f32"); peak statistic only

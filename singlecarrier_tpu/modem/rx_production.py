@@ -206,7 +206,7 @@ def prod_rx_backend(cfg: ModemConfig, decim_prev, filtered, *,
     # first chip sits at static index L//2 and every downstream offset
     # is static -- replaces half a dozen per-channel dynamic windows
     # and shrinks the de-rotation from the 752-window to the packet).
-    # dynamic_slice (scalar start) is much cheaper than an index-array
+    # A scalar-start dynamic slice is far cheaper than an index-array
     # gather on TPU.
     off = cfg.eq_length // 2
     pkt_len = cfg.pkt_window
