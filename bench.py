@@ -29,9 +29,12 @@ REALTIME_SAMPLES_PER_CHIP = 1.0e9  # 1M ch x 8 kHz / 8 chips
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--channels", type=int, default=2048)
-    ap.add_argument("--blocks", type=int, default=4)
-    ap.add_argument("--iters", type=int, default=6)
+    # Large batch per dispatch: the tunneled dev environment has a
+    # ~30 ms per-dispatch floor that must be amortized to measure the
+    # device (production deployments dispatch locally/async).
+    ap.add_argument("--channels", type=int, default=4096)
+    ap.add_argument("--blocks", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=2)
     args = ap.parse_args()
 
