@@ -213,7 +213,8 @@ def prod_rx_backend(cfg: ModemConfig, decim_prev, filtered, *,
     symbols = jnp.take_along_axis(
         windows, phase_idx[..., None, None].astype(jnp.int32), axis=-2
     )[..., 0, :]
-    pad = [(0, 0)] * (symbols.ndim - 1) + [(off, pkt_len)]
+    rpad = (n_sym - 1) + pkt_len - (off + 2 * n_sym)
+    pad = [(0, 0)] * (symbols.ndim - 1) + [(off, max(rpad, 0))]
     sympad = jnp.pad(symbols, pad)
     pkt = lax.dynamic_slice_in_dim(sympad, lag, pkt_len, axis=-1)
 
@@ -290,15 +291,26 @@ def prod_rx_stream(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
 def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
                           pcm_frames, *, descramble: bool = True,
                           block_channels: int = 256,
+                          decode_block_channels: int = 64,
+                          fuse_decode: bool = True,
                           interpret: bool = False):
-    """Batched stream demod with the Pallas fused front-end.
+    """Batched stream demod with the Pallas fused kernels.
 
     ``state``: channel-batched ProdRxState ([C] leading axis);
     ``pcm_frames``: [n_frames, C, frame_size] int16.  The front-end
     (int16 -> downmix -> RRC) runs as one VMEM-resident kernel per
-    channel block (ops/frontend_pallas.py); the back half runs vmapped.
+    channel block (ops/frontend_pallas.py); with ``fuse_decode`` the
+    whole post-extraction chain (CFO -> LS fit -> decode -> refine ->
+    descramble) runs as a second fused kernel (ops/decode_pallas.py),
+    leaving only decimation, the bf16 hunt matmul, and the packet
+    extraction in XLA.
     """
+    from ..ops.decode_pallas import fused_decode
     from ..ops.frontend_pallas import fused_frontend
+
+    n_sym = cfg.symbols_per_block
+    off = cfg.eq_length // 2
+    pkt_len = cfg.pkt_window
 
     def body(st, pcm):
         fr, fi, ntr, nti, npr, npi = fused_frontend(
@@ -306,10 +318,51 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
             st.fir_tail.real, st.fir_tail.imag,
             block_channels=block_channels, interpret=interpret)
         filtered = lax.complex(fr, fi)
-        decim_cur, out = jax.vmap(
-            lambda dp, f: prod_rx_backend(cfg, dp, f,
-                                          descramble=descramble)
-        )(st.decim_prev, filtered)
+
+        if not fuse_decode:
+            decim_cur, out = jax.vmap(
+                lambda dp, f: prod_rx_backend(cfg, dp, f,
+                                              descramble=descramble)
+            )(st.decim_prev, filtered)
+            new_state = ProdRxState(
+                phase=lax.complex(npr, npi),
+                fir_tail=lax.complex(ntr, nti),
+                decim_prev=decim_cur)
+            return new_state, out
+
+        # Decimate + hunt + packet extraction (XLA), batched.
+        decim_cur = filtered.reshape(-1, n_sym, cfg.cycles)
+        decim_cur = jnp.swapaxes(decim_cur, -1, -2)
+        windows = jnp.concatenate([st.decim_prev, decim_cur], axis=-1)
+        lag, phase_idx, peak = _hunt(cfg, windows)
+        symbols = jnp.take_along_axis(
+            windows, phase_idx[..., None, None].astype(jnp.int32),
+            axis=-2)[..., 0, :]
+        # right pad: max start (n_lags-1) + pkt_len - (off + 2*n_sym)
+        rpad = (n_sym - 1) + pkt_len - (off + 2 * n_sym)
+        sympad = jnp.pad(symbols, [(0, 0), (off, max(rpad, 0))])
+        pkt = jax.vmap(
+            lambda s, l: lax.dynamic_slice_in_dim(s, l, pkt_len)
+        )(sympad, lag)
+
+        # Smaller channel block than the front-end: the decode kernel's
+        # live dataflow (~50 [cb, 384] f32 values) must fit the 16 MB
+        # VMEM scoped stack.
+        dec = fused_decode(cfg, pkt.real, pkt.imag, peak,
+                           descramble=descramble,
+                           block_channels=min(decode_block_channels,
+                                              pkt.shape[0]),
+                           interpret=interpret)
+        valid = dec["gated"] & (dec["matches"] > cfg.match_threshold)
+        dibits = dec["dibits"].astype(jnp.uint8)
+        bits = jnp.stack([dibits & 1, dibits >> 1], axis=-1).reshape(
+            dibits.shape[0], -1).astype(jnp.uint8)
+
+        out = ProdRxOut(
+            valid=valid, bits=bits, matches=dec["matches"], lag=lag,
+            timing_phase=phase_idx, peak=peak, energy=dec["energy"],
+            cfo_hz=dec["cfo_hz"], eq_error=dec["eq_error"],
+        )
         new_state = ProdRxState(
             phase=lax.complex(npr, npi),
             fir_tail=lax.complex(ntr, nti),

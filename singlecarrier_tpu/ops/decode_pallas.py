@@ -1,0 +1,349 @@
+"""Pallas fused decode kernel: packet window -> payload dibits + stats.
+
+Fuses every post-extraction RX stage into ONE VMEM-resident kernel per
+channel block (the XLA path runs these as ~40 separate HBM-roundtrip
+ops -- the dominant cost after the front-end):
+
+  energy gate -> CFO search (in-kernel DFT matmul + one-hot parabolic
+  peak) -> de-rotation -> LS equalizer fit (normal equations via
+  static shifted reductions + unrolled Cholesky) -> guarded
+  decision-directed refit -> one-shot decode -> clamped phase/freq
+  refinement -> descramble.
+
+Everything is static-offset (the packet window is extracted aligned,
+modem/rx_production.py) and complex travels as real/imag planes.
+Mosaic constraints respected: accumulation through refs where live
+ranges are big, no dynamic lane slices, one fat output (dibits +
+stats packed in one f32 array).
+
+Numerical notes vs the XLA path: the phase-refinement angle uses the
+small-angle ratio imag/real (valid because corrections are clamped to
+<= pi/8) instead of atan2; agreement is verified to decision level in
+tests/test_decode_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModemConfig
+from ..constants import PREAMBLE_VALUES, scramble_dibit_mask
+from ..dsp.fftops import _dft_matrix
+
+
+def _reduce_last(x):
+    return jnp.sum(x, axis=-1, keepdims=True)          # [cb, 1]
+
+
+def _solve_chol(A_r, A_i, b_r, b_i, L):
+    """Unrolled complex Cholesky solve on [cb,1]-shaped scalars.
+
+    A as dicts of planes A_r[(i,j)], lower triangle i>=j; b planes
+    lists.  Returns coeff planes (lists of [cb,1]).
+    """
+    c_r = [[None] * L for _ in range(L)]
+    c_i = [[None] * L for _ in range(L)]
+    for j in range(L):
+        s = A_r[(j, j)]
+        for k in range(j):
+            s = s - (c_r[j][k] * c_r[j][k] + c_i[j][k] * c_i[j][k])
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        c_r[j][j] = d
+        c_i[j][j] = jnp.zeros_like(d)
+        inv = 1.0 / d
+        for i in range(j + 1, L):
+            tr, ti = A_r[(i, j)], A_i[(i, j)]
+            for k in range(j):
+                # t -= c[i][k] * conj(c[j][k])
+                tr = tr - (c_r[i][k] * c_r[j][k] + c_i[i][k] * c_i[j][k])
+                ti = ti - (c_i[i][k] * c_r[j][k] - c_r[i][k] * c_i[j][k])
+            c_r[i][j] = tr * inv
+            c_i[i][j] = ti * inv
+
+    # forward C y = b
+    y_r, y_i = [None] * L, [None] * L
+    for i in range(L):
+        tr, ti = b_r[i], b_i[i]
+        for k in range(i):
+            tr = tr - (c_r[i][k] * y_r[k] - c_i[i][k] * y_i[k])
+            ti = ti - (c_r[i][k] * y_i[k] + c_i[i][k] * y_r[k])
+        inv = 1.0 / c_r[i][i]
+        y_r[i], y_i[i] = tr * inv, ti * inv
+
+    # back C^H x = y   (C^H entries conj(c[k][i]))
+    x_r, x_i = [None] * L, [None] * L
+    for i in reversed(range(L)):
+        tr, ti = y_r[i], y_i[i]
+        for k in range(i + 1, L):
+            # t -= conj(c[k][i]) * x[k]
+            tr = tr - (c_r[k][i] * x_r[k] + c_i[k][i] * x_i[k])
+            ti = ti - (c_r[k][i] * x_i[k] - c_i[k][i] * x_r[k])
+        inv = 1.0 / c_r[i][i]
+        x_r[i], x_i[i] = tr * inv, ti * inv
+    return x_r, x_i
+
+
+def _fit(pr, pi, target_r, target_i, L, reg, count):
+    """LS fit of sum_i coeff_i * w[t+i] ~ target[t] over t < count.
+
+    pr/pi: [cb, count + L - 1] window planes; target planes [cb, count]
+    (target_i may be None for a real target).  Returns coeff planes.
+    """
+    sl_r = [pr[:, i:i + count] for i in range(L)]
+    sl_i = [pi[:, i:i + count] for i in range(L)]
+    A_r, A_i = {}, {}
+    for i in range(L):
+        for j in range(i + 1):
+            A_r[(i, j)] = _reduce_last(sl_r[i] * sl_r[j]
+                                       + sl_i[i] * sl_i[j])
+            A_i[(i, j)] = _reduce_last(sl_i[i] * sl_r[j]
+                                       - sl_r[i] * sl_i[j])
+    tr_mean = A_r[(0, 0)]
+    for i in range(1, L):
+        tr_mean = tr_mean + A_r[(i, i)]
+    ridge = reg * tr_mean / L + 1e-12
+    for i in range(L):
+        A_r[(i, i)] = A_r[(i, i)] + ridge
+
+    b_r, b_i = [], []
+    for i in range(L):
+        if target_i is None:
+            b_r.append(_reduce_last(sl_r[i] * target_r))
+            b_i.append(_reduce_last(-sl_i[i] * target_r))
+        else:
+            b_r.append(_reduce_last(sl_r[i] * target_r
+                                    + sl_i[i] * target_i))
+            b_i.append(_reduce_last(sl_r[i] * target_i
+                                    - sl_i[i] * target_r))
+    # NOTE b = C^H target => b_i uses conj(C): conj(w)*t.
+    return _solve_chol(A_r, A_i, b_r, b_i, L)
+
+
+def _apply(pr, pi, cr, ci, L, count):
+    """raw[t] = sum_i coeff_i * w[t+i]; returns planes [cb, count]."""
+    ar = jnp.zeros_like(pr[:, :count])
+    ai = jnp.zeros_like(ar)
+    for i in range(L):
+        wr = pr[:, i:i + count]
+        wi = pi[:, i:i + count]
+        ar = ar + cr[i] * wr - ci[i] * wi
+        ai = ai + cr[i] * wi + ci[i] * wr
+    return ar, ai
+
+
+def _slice_hard(ar, ai):
+    """QPSK decisions in the raw domain: sym = raw*(1+j)."""
+    sr = ar - ai
+    si = ar + ai
+    i_bit = (sr < 0.0)
+    q_bit = (si < 0.0)
+    hi = jnp.where(i_bit, -1.0, 1.0)
+    hq = jnp.where(q_bit, -1.0, 1.0)
+    # hard_raw = (hi + j hq) * (0.5 - 0.5j)
+    hr = 0.5 * (hi + hq)
+    hh = 0.5 * (hq - hi)
+    dib = i_bit.astype(jnp.float32) * 2.0 + q_bit.astype(jnp.float32)
+    return dib, hr, hh
+
+
+def _decode_kernel(pkt_ref, peak_ref, wr_ref, wi_ref, pn_ref, mask_ref,
+                   out_ref, *, P, D, L, off, nfft, rs, peak_gate,
+                   ls_reg, refit_iters, refine_iters):
+    pr0 = pkt_ref[:, 0, :]
+    pi0 = pkt_ref[:, 1, :]
+    pn = pn_ref[0, 0:1, :]                              # [1, P]
+
+    chips_r = pr0[:, off:off + P]
+    chips_i = pi0[:, off:off + P]
+    energy = _reduce_last(chips_r * chips_r + chips_i * chips_i)
+    gated = peak_ref[:, 0, :] > energy * peak_gate      # [cb, 1]
+
+    # ---- CFO search: DFT matmul + one-hot parabolic peak ----
+    tr = chips_r * pn
+    ti = chips_i * pn
+    wr = wr_ref[0]
+    wi = wi_ref[0]
+    f32 = jnp.float32
+    sr = jnp.dot(tr, wr, preferred_element_type=f32) \
+        - jnp.dot(ti, wi, preferred_element_type=f32)
+    si = jnp.dot(tr, wi, preferred_element_type=f32) \
+        + jnp.dot(ti, wr, preferred_element_type=f32)
+    pw = sr * sr + si * si                              # [cb, nfft]
+    kbin_i = jnp.argmax(pw, axis=-1, keepdims=True).astype(jnp.int32)
+    cols = lax.broadcasted_iota(jnp.int32, pw.shape, 1)
+    oh0 = (cols == kbin_i).astype(f32)
+    ohm = (cols == (kbin_i - 1) % nfft).astype(f32)
+    ohp = (cols == (kbin_i + 1) % nfft).astype(f32)
+    kbin = kbin_i.astype(f32)
+    p0 = _reduce_last(pw * oh0)
+    pm = _reduce_last(pw * ohm)
+    pp = _reduce_last(pw * ohp)
+    denom = pm - 2.0 * p0 + pp
+    delta = jnp.where(jnp.abs(denom) > 1e-20,
+                      0.5 * (pm - pp) / denom, 0.0)
+    kf = kbin + delta
+    kf = jnp.where(kf > nfft / 2.0, kf - nfft, kf)
+    cfo = kf * (rs / nfft)                              # [cb, 1]
+    cfo = jnp.where(gated, cfo, 0.0)
+
+    # ---- de-rotate the packet ----
+    n_all = pr0.shape[-1]
+    t_idx = lax.broadcasted_iota(jnp.int32, (1, n_all), 1).astype(f32) - off
+    ang = (-2.0 * np.pi / rs) * cfo * t_idx             # [cb, n_all]
+    rc = jnp.cos(ang)
+    rsn = jnp.sin(ang)
+    pr = pr0 * rc - pi0 * rsn
+    pi_ = pr0 * rsn + pi0 * rc
+
+    # ---- LS train on the preamble (real target pn) ----
+    win_r = pr[:, :P + L - 1]
+    win_i = pi_[:, :P + L - 1]
+    cr, ci = _fit(win_r, win_i, pn, None, L, ls_reg, P)
+    vr, _ = _apply(win_r, win_i, cr, ci, L, P)
+    matches = _reduce_last((vr * pn > 0.0).astype(f32))
+
+    # ---- guarded decision-directed refit on the data ----
+    dstart = off + P - (L // 2)
+    dat_r = pr[:, dstart:dstart + D + L - 1]
+    dat_i = pi_[:, dstart:dstart + D + L - 1]
+    for _ in range(refit_iters):
+        ar, ai = _apply(dat_r, dat_i, cr, ci, L, D)
+        dib, hr, hh = _slice_hard(ar, ai)
+        mag_raw = _reduce_last(jnp.sqrt(ar * ar + ai * ai)) / D
+        mag_h = _reduce_last(jnp.sqrt(hr * hr + hh * hh)) / D + 1e-12
+        scale = mag_raw / mag_h
+        cr2, ci2 = _fit(dat_r, dat_i, hr * scale, hh * scale, L,
+                        1e-3, D)
+        vr2, _ = _apply(win_r, win_i, cr2, ci2, L, P)
+        m2 = _reduce_last((vr2 * pn > 0.0).astype(f32))
+        keep = (m2 >= matches).astype(f32)
+        cr = [keep * a + (1.0 - keep) * b for a, b in zip(cr2, cr)]
+        ci = [keep * a + (1.0 - keep) * b for a, b in zip(ci2, ci)]
+
+    # ---- decode + clamped phase/frequency refinement ----
+    ar, ai = _apply(dat_r, dat_i, cr, ci, L, D)
+    a_max = np.float32(np.pi / 8.0)
+    b_max = np.float32(np.pi / 8.0 / D)
+    kd = lax.broadcasted_iota(jnp.int32, (1, D), 1).astype(f32)
+    for _ in range(refine_iters):
+        dib, hr, hh = _slice_hard(ar, ai)
+        zr = ar * hr + ai * hh
+        zi = ai * hr - ar * hh
+        incr = _reduce_last(zr[:, 1:] * zr[:, :-1] + zi[:, 1:] * zi[:, :-1])
+        inci = _reduce_last(zi[:, 1:] * zr[:, :-1] - zr[:, 1:] * zi[:, :-1])
+        # small-angle: angle ~ imag/real (corrections are clamped)
+        b = jnp.clip(inci / (jnp.abs(incr) + 1e-20), -b_max, b_max)
+        angd = -b * kd
+        dc, dsn = jnp.cos(angd), jnp.sin(angd)
+        zr2 = zr * dc - zi * dsn
+        zi2 = zr * dsn + zi * dc
+        z0r = _reduce_last(zr2)
+        z0i = _reduce_last(zi2)
+        a = jnp.clip(z0i / (jnp.abs(z0r) + 1e-20), -a_max, a_max)
+        ang2 = -a - b * kd
+        c2, s2 = jnp.cos(ang2), jnp.sin(ang2)
+        ar, ai = ar * c2 - ai * s2, ar * s2 + ai * c2
+
+    dib, hr, hh = _slice_hard(ar, ai)
+    mag = _reduce_last(jnp.sqrt(ar * ar + ai * ai)) / D + 1e-9
+    # |hard_raw| == 1 for every decision, so the unit target is (hr, hh)
+    err_r = ar / mag - hr
+    err_i = ai / mag - hh
+    eq_err = _reduce_last(jnp.sqrt(err_r * err_r + err_i * err_i)) / D
+
+    # ---- descramble (XOR via arithmetic on {0..3} dibits) ----
+    m = mask_ref[0, 0:1, :]                             # [1, D]
+    di = dib.astype(jnp.int32)
+    mi = m.astype(jnp.int32)
+    x_i = (di // 2 + mi // 2) % 2
+    x_q = (di % 2 + mi % 2) % 2
+    dscr = (x_i * 2 + x_q).astype(f32)
+
+    out_ref[:, :D] = dscr
+    out_ref[:, D:D + 1] = matches
+    out_ref[:, D + 1:D + 2] = eq_err
+    out_ref[:, D + 2:D + 3] = cfo
+    out_ref[:, D + 3:D + 4] = gated.astype(f32)
+    out_ref[:, D + 4:D + 5] = energy
+    out_ref[:, D + 5:] = jnp.zeros_like(out_ref[:, D + 5:])
+
+
+def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
+                 descramble: bool = True, block_channels: int = 256,
+                 interpret: bool = False):
+    """Run the fused decode kernel.
+
+    Args:
+      pkt_r/pkt_i: [C, pkt_window] aligned packet planes (first chip at
+                   index eq_length//2).
+      peak:        [C] hunt correlation peak.
+
+    Returns dict with dibits (f32 [C, D]), matches, eq_error, cfo_hz,
+    gated, energy.
+    """
+    P = cfg.preamble_length
+    D = cfg.frame_symbols
+    L = cfg.eq_length
+    off = L // 2
+    nfft = cfg.cfo_nfft
+    C = pkt_r.shape[0]
+    cb = min(block_channels, C)
+    assert C % cb == 0
+    n_out = -(-(D + 5) // 128) * 128
+
+    wm = _dft_matrix(P, nfft)
+    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
+    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
+    pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
+    if descramble:
+        mask = scramble_dibit_mask()[:D].astype(np.float32)
+    else:
+        mask = np.zeros(D, np.float32)
+    maskj = jnp.asarray(mask.reshape(1, 1, D))
+
+    pkt = jnp.stack([pkt_r, pkt_i], axis=1)             # [C, 2, W]
+
+    kern = functools.partial(
+        _decode_kernel, P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
+        peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
+        refit_iters=cfg.ls_refit_iters,
+        refine_iters=cfg.phase_refine_iters)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(C // cb,),
+        in_specs=[
+            pl.BlockSpec((cb, 2, pkt.shape[-1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, n_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, n_out), jnp.float32),
+        interpret=interpret,
+    )(pkt, peak.reshape(C, 1, 1), wr, wi, pn, maskj)
+
+    return {
+        "dibits": out[:, :D],
+        "matches": out[:, D].astype(jnp.int32),
+        "eq_error": out[:, D + 1],
+        "cfo_hz": out[:, D + 2],
+        "gated": out[:, D + 3] > 0.5,
+        "energy": out[:, D + 4],
+    }

@@ -1,0 +1,107 @@
+"""Fused decode kernel vs the XLA backend (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from singlecarrier_tpu.config import DEFAULT_CONFIG as CFG
+from singlecarrier_tpu.modem import prod_rx_init, tx_stream
+from singlecarrier_tpu.modem.rx_production import (
+    _hunt,
+    prod_rx_stream,
+)
+from singlecarrier_tpu.ops.decode_pallas import fused_decode
+from singlecarrier_tpu.ops.frontend_pallas import frontend_reference
+from singlecarrier_tpu.dsp.fir import fir_init_state
+from singlecarrier_tpu.dsp.mixer import mixer_init_phase
+
+
+def _extract_pkts(pcm_frames):
+    """Replicate the pipeline up to packet extraction for each frame."""
+    n_sym = CFG.symbols_per_block
+    off = CFG.eq_length // 2
+    pkt_len = CFG.pkt_window
+    phase = mixer_init_phase()
+    tail = fir_init_state(49)
+    decim_prev = jnp.zeros((CFG.cycles, n_sym), jnp.complex64)
+    pkts, peaks, lags = [], [], []
+    for pcm in pcm_frames:
+        filt, tail, phase = frontend_reference(CFG, pcm, phase, tail)
+        decim_cur = filt.reshape(n_sym, CFG.cycles).T
+        windows = jnp.concatenate([decim_prev, decim_cur], axis=-1)
+        lag, pidx, peak = _hunt(CFG, windows)
+        symbols = windows[pidx]
+        sympad = jnp.pad(symbols, (off, pkt_len))
+        pkt = lax.dynamic_slice_in_dim(sympad, lag, pkt_len)
+        pkts.append(np.asarray(pkt))
+        peaks.append(float(peak))
+        lags.append(int(lag))
+        decim_prev = decim_cur
+    return np.stack(pkts), np.asarray(peaks, np.float32), lags
+
+
+def test_fused_decode_matches_xla_backend():
+    rng = np.random.default_rng(41)
+    bits = rng.integers(0, 2, (3, CFG.ns, CFG.data_symbols * 2),
+                        dtype=np.uint8)
+    pcm = np.asarray(tx_stream(CFG, jnp.asarray(bits), flush_gap=True))
+    n = -(-len(pcm) // CFG.frame_size) + 1
+    buf = np.zeros(n * CFG.frame_size, np.int16)
+    buf[:len(pcm)] = pcm
+    frames = jnp.asarray(buf.reshape(n, CFG.frame_size))
+
+    # XLA reference pipeline
+    _, ref = prod_rx_stream(CFG, prod_rx_init(CFG), frames,
+                            descramble=False)
+    ref = jax.tree.map(np.asarray, ref)
+
+    # kernel on the extracted packets
+    pkts, peaks, lags = _extract_pkts(frames)
+    out = fused_decode(CFG, jnp.asarray(pkts.real),
+                       jnp.asarray(pkts.imag), jnp.asarray(peaks),
+                       descramble=False, block_channels=pkts.shape[0],
+                       interpret=True)
+    out = jax.tree.map(np.asarray, out)
+
+    valid_k = out["gated"] & (out["matches"] > CFG.match_threshold)
+    assert np.array_equal(valid_k, ref.valid)
+
+    # payload equality on detected frames
+    ref_dib = (ref.bits[:, 1::2].astype(np.uint8) << 1) | ref.bits[:, 0::2]
+    for fr in np.nonzero(ref.valid)[0]:
+        got = out["dibits"][fr].astype(np.uint8)
+        assert np.array_equal(got, ref_dib[fr]), f"frame {fr}"
+        assert abs(out["cfo_hz"][fr] - ref.cfo_hz[fr]) < 0.5
+        assert out["matches"][fr] == ref.matches[fr]
+
+
+def test_fused_decode_descramble():
+    rng = np.random.default_rng(42)
+    bits = rng.integers(0, 2, (2, CFG.ns, CFG.data_symbols * 2),
+                        dtype=np.uint8)
+    from singlecarrier_tpu.scramble import scramble_dibits
+    dibits = (bits[..., 1::2] << 1) | bits[..., 0::2]
+    flat = dibits.reshape(2, -1)
+    scr = np.stack([np.asarray(scramble_dibits(jnp.asarray(r), 0)[0])
+                    for r in flat])
+    sb = np.stack([scr & 1, scr >> 1], axis=-1)
+    tx_bits = sb.reshape(2, CFG.ns, CFG.data_symbols * 2)
+
+    pcm = np.asarray(tx_stream(CFG, jnp.asarray(tx_bits),
+                               flush_gap=True))
+    n = -(-len(pcm) // CFG.frame_size) + 1
+    buf = np.zeros(n * CFG.frame_size, np.int16)
+    buf[:len(pcm)] = pcm
+    frames = jnp.asarray(buf.reshape(n, CFG.frame_size))
+
+    pkts, peaks, lags = _extract_pkts(frames)
+    out = fused_decode(CFG, jnp.asarray(pkts.real),
+                       jnp.asarray(pkts.imag), jnp.asarray(peaks),
+                       descramble=True, block_channels=pkts.shape[0],
+                       interpret=True)
+    out = jax.tree.map(np.asarray, out)
+    valid = out["gated"] & (out["matches"] > CFG.match_threshold)
+    got = out["dibits"][valid].astype(np.uint8)
+    want = dibits.reshape(2, -1)
+    assert np.array_equal(got, want)
