@@ -82,28 +82,41 @@ def cmd_demod(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from .modem import make_prod_rx_fn, prod_rx_init
-
     cfg = _cfg_from(args)
     pcm = np.fromfile(getattr(args, "in"), dtype="<i2")
     n = -(-len(pcm) // cfg.frame_size) + 1
     buf = np.zeros(n * cfg.frame_size, np.int16)
     buf[:len(pcm)] = pcm
-    fn = make_prod_rx_fn(cfg, descramble=args.descramble)
-    _, out = fn(prod_rx_init(cfg),
-                jnp.asarray(buf.reshape(n, cfg.frame_size)))
-    out = jax.tree.map(np.asarray, out)
-    for fr in np.nonzero(out.valid)[0]:
-        rec = {
-            "frame": int(fr),
-            "lag": int(out.lag[fr]),
-            "timing_phase": int(out.timing_phase[fr]),
-            "matches": int(out.matches[fr]),
-            "cfo_hz": round(float(out.cfo_hz[fr]), 2),
-            "eq_error": round(float(out.eq_error[fr]), 4),
-            "bits": "".join(map(str, out.bits[fr])),
-        }
-        print(json.dumps(rec))
+    frames = jnp.asarray(buf.reshape(n, cfg.frame_size))
+
+    if args.mode == "faithful":
+        from .modem import make_rx_stream_fn, rx_init
+        fn = make_rx_stream_fn(cfg, freq_offset=args.freq_offset)
+        _, out = fn(rx_init(cfg), frames)
+        out = jax.tree.map(np.asarray, out)
+        for fr in np.nonzero(out.valid)[0]:
+            print(json.dumps({
+                "frame": int(fr),
+                "max_index": int(out.max_index[fr]),
+                "matches": int(out.matches[fr]),
+                "bits": "".join(map(str, out.bits[fr])),
+            }))
+    else:
+        from .modem import make_prod_rx_fn, prod_rx_init
+        fn = make_prod_rx_fn(cfg, descramble=args.descramble)
+        _, out = fn(prod_rx_init(cfg), frames)
+        out = jax.tree.map(np.asarray, out)
+        for fr in np.nonzero(out.valid)[0]:
+            rec = {
+                "frame": int(fr),
+                "lag": int(out.lag[fr]),
+                "timing_phase": int(out.timing_phase[fr]),
+                "matches": int(out.matches[fr]),
+                "cfo_hz": round(float(out.cfo_hz[fr]), 2),
+                "eq_error": round(float(out.eq_error[fr]), 4),
+                "bits": "".join(map(str, out.bits[fr])),
+            }
+            print(json.dumps(rec))
     print(f"{int(out.valid.sum())} packets detected in {n} blocks",
           file=sys.stderr)
     return 0
@@ -186,6 +199,11 @@ def main(argv=None) -> int:
     _add_cfg_flags(p)
     p.add_argument("--in", required=True)
     p.add_argument("--descramble", action="store_true", default=False)
+    p.add_argument("--mode", choices=["production", "faithful"],
+                   default="production",
+                   help="faithful = bit-parity with the C reference")
+    p.add_argument("--freq-offset", type=float, default=0.0,
+                   help="faithful-mode RX carrier offset (FOFFSET)")
     p.set_defaults(fn=cmd_demod)
 
     p = sub.add_parser("loopback", help="TX->channel->RX self test")

@@ -41,11 +41,10 @@ import numpy as np
 from jax import lax
 
 from ..adaptive.ls_equalizer import (ls_decode, ls_refit, ls_train,
-                                     phase_refine, slice_qpsk)
+                                     phase_refine, window_matrix)
 from ..config import ModemConfig
-from ..constants import PREAMBLE_TABLE, PREAMBLE_VALUES, rrc_taps
-from ..dsp.correlate import preamble_corr_matrix, window_energy
-from ..dsp.fftops import estimate_cfo, wipeoff_rotation
+from ..constants import PREAMBLE_VALUES, rrc_taps
+from ..dsp.fftops import estimate_cfo
 from ..dsp.fir import fir_block, fir_init_state
 from ..dsp.mixer import mix_block, mixer_init_phase
 from ..scramble import scramble_dibits
@@ -168,7 +167,6 @@ def _train_and_decode(cfg: ModemConfig, pkt):
     # Guard: keep the refit only if it scores at least as well on the
     # KNOWN preamble chips (at low SNR decision-directed loops can
     # reinforce their own errors).
-    from ..adaptive.ls_equalizer import window_matrix
     C_pre = window_matrix(pkt, off, cfg.preamble_length, cfg.eq_length)
     for _ in range(cfg.ls_refit_iters):
         cand = ls_refit(pkt, start, coeff, cfg.frame_symbols)
