@@ -41,6 +41,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from singlecarrier_tpu.utils.compat import enable_compilation_cache
+    enable_compilation_cache()
+
     from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
     from singlecarrier_tpu.modem import prod_rx_init
     from singlecarrier_tpu.modem.rx_production import prod_rx_stream_pallas

@@ -224,6 +224,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_ber)
 
     args = ap.parse_args(argv)
+    from .utils.compat import enable_compilation_cache
+    enable_compilation_cache()
     return args.fn(args)
 
 

@@ -65,6 +65,17 @@ class ModemConfig:
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
     phase_refine_iters: int = 2   # decision-directed phase-ramp passes
     ls_refit_iters: int = 1       # decision-directed LS refit passes
+    frac_timing: bool = False     # sub-sample timing recovery: parabolic
+                                  # interpolation of the correlation peak
+                                  # + 2-tap fractional-delay blend at
+                                  # packet extraction.  Off by default:
+                                  # at 5x oversampling the symbol-spaced
+                                  # LS equalizer absorbs sub-sample
+                                  # timing (measured: eq error and BER
+                                  # flat vs injected fractional delay);
+                                  # enable for low-oversampling configs
+                                  # (fs/rs <= 2) where the residual
+                                  # matters
 
     # Scrambler ---------------------------------------------------------------
     scramble_seed: int = 0x4A80       # DVB LFSR sync seed   (scramble.h:16)

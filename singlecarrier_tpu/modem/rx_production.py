@@ -138,10 +138,76 @@ def _hunt(cfg: ModemConfig, windows):
     peak = jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]
     phase_idx = (idx // n_lags).astype(jnp.int32)
     lag = (idx % n_lags).astype(jnp.int32)
+
+    # Sub-sample timing: a (lag, phase) pair IS an absolute sample
+    # position t = lag*cycles + phase; the correlation power at t-1 /
+    # t+1 (any phase/lag combination) brackets the peak, and a
+    # parabolic fit gives the fractional offset.  The extraction step
+    # blends adjacent samples by ``frac`` (SURVEY.md hard-part: the
+    # reference quantizes timing to the decimation grid, qpsk.c:157-162,
+    # costing up to +-0.5 samples = 1-2 dB at the slicer).
+    if cfg.frac_timing:
+        cyc = windows.shape[-2]
+        pt = jnp.swapaxes(power, -1, -2).reshape(*batch_shape, -1)
+        t = lag * cyc + phase_idx
+        tmax = pt.shape[-1] - 1
+        pm = jnp.take_along_axis(
+            pt, jnp.clip(t - 1, 0, tmax)[..., None], -1)[..., 0]
+        pp = jnp.take_along_axis(
+            pt, jnp.clip(t + 1, 0, tmax)[..., None], -1)[..., 0]
+        denom = pm + pp - 2.0 * peak
+        frac = jnp.where(denom < -1e-12, 0.5 * (pm - pp) / denom, 0.0)
+        frac = jnp.clip(frac, -0.5, 0.5)
+        frac = jnp.where((t > 0) & (t < tmax), frac, 0.0)
+    else:
+        frac = jnp.zeros(batch_shape, jnp.float32)
     # Window energy at the peak is computed later from the extracted
     # packet (avoids a full [cyc, 2*n_sym] cumsum whose only consumer
     # is one value).
-    return lag, phase_idx, peak
+    return lag, phase_idx, peak, frac
+
+
+def _extract_packet(cfg: ModemConfig, windows, lag, phase_idx, frac):
+    """Extract the aligned packet window [pkt_window] (single channel).
+
+    ``windows``: [cycles, 2*n_sym] decimated phases of the two-block
+    hunt window.  A (lag, phase) pair addresses absolute sample
+    t0 = (lag - L//2)*cycles + phase of the time-ordered filtered
+    stream; the packet is the stride-``cycles`` comb from t0.  One
+    transpose rebuilds the time-ordered stream, one scalar-start
+    dynamic slice grabs the comb's span plus one sample either side,
+    and a reshape exposes the comb and its +-1-sample neighbors as
+    columns -- the 2-tap fractional-delay blend by ``frac`` is then a
+    lerp between adjacent columns (at 5x oversampling adjacent samples
+    are 0.2 symbol apart, so linear interpolation is accurate for the
+    RRC-bandlimited signal).
+
+    The first preamble chip lands at static index L//2, so every
+    downstream offset (training window, data start) stays static.
+    """
+    cyc = cfg.cycles
+    off = cfg.eq_length // 2
+    pkt_len = cfg.pkt_window
+    n_lags = cfg.symbols_per_block
+
+    # time-ordered stream: s2[n*cyc + c] = windows[c, n]
+    s2 = jnp.swapaxes(windows, -1, -2).reshape(-1)
+    lpad = off * cyc + 1
+    span = pkt_len * cyc + 2
+    # max start (in padded coords) = (n_lags-1)*cyc + cyc-1
+    rpad = max(0, (n_lags * cyc - 1) + span - (lpad + s2.shape[-1]))
+    sp = jnp.pad(s2, (lpad, rpad))
+    start = lag * cyc + phase_idx           # >= 0 by construction
+    sl = lax.dynamic_slice_in_dim(sp, start, span)
+
+    grid = sl[1:1 + pkt_len * cyc].reshape(pkt_len, cyc)[:, 0]
+    if not cfg.frac_timing:
+        return grid
+    minus = sl[0:pkt_len * cyc].reshape(pkt_len, cyc)[:, 0]
+    plus = sl[2:2 + pkt_len * cyc].reshape(pkt_len, cyc)[:, 0]
+    af = jnp.abs(frac).astype(jnp.float32)
+    nb = jnp.where(frac >= 0, plus, minus)
+    return grid * (1.0 - af) + nb * af
 
 
 def _train_and_decode(cfg: ModemConfig, pkt):
@@ -197,24 +263,20 @@ def prod_rx_backend(cfg: ModemConfig, decim_prev, filtered, *,
     # Two-block hunt windows per phase: [cycles, 2*n_sym].
     windows = jnp.concatenate([decim_prev, decim_cur], axis=-1)
 
-    lag, phase_idx, peak = _hunt(cfg, windows)
+    lag, phase_idx, peak, frac = _hunt(cfg, windows)
 
-    # Extract the aligned packet window [pkt_window]: select the
-    # winning phase, then ONE dynamic slice from lag - L//2 (so the
-    # first chip sits at static index L//2 and every downstream offset
-    # is static -- replaces half a dozen per-channel dynamic windows
-    # and shrinks the de-rotation from the 752-window to the packet).
-    # A scalar-start dynamic slice is far cheaper than an index-array
-    # gather on TPU.
+    # Extract the aligned packet window [pkt_window] with sub-sample
+    # timing correction (_extract_packet).  A scalar-start dynamic
+    # slice is far cheaper than an index-array gather on TPU; the first
+    # chip sits at static index L//2 so downstream offsets are static.
     off = cfg.eq_length // 2
     pkt_len = cfg.pkt_window
-    symbols = jnp.take_along_axis(
-        windows, phase_idx[..., None, None].astype(jnp.int32), axis=-2
-    )[..., 0, :]
-    rpad = (n_sym - 1) + pkt_len - (off + 2 * n_sym)
-    pad = [(0, 0)] * (symbols.ndim - 1) + [(off, max(rpad, 0))]
-    sympad = jnp.pad(symbols, pad)
-    pkt = lax.dynamic_slice_in_dim(sympad, lag, pkt_len, axis=-1)
+    if windows.ndim == 2:
+        pkt = _extract_packet(cfg, windows, lag, phase_idx, frac)
+    else:
+        pkt = jax.vmap(
+            lambda w, l, p, f: _extract_packet(cfg, w, l, p, f)
+        )(windows, lag, phase_idx, frac)
 
     # Energy gate (the gate the reference commented out, qpsk.c:196):
     # window energy at the peak, from the extracted packet.
@@ -307,8 +369,6 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
     from ..ops.frontend_pallas import fused_frontend
 
     n_sym = cfg.symbols_per_block
-    off = cfg.eq_length // 2
-    pkt_len = cfg.pkt_window
 
     def body(st, pcm):
         fr, fi, ntr, nti, npr, npi = fused_frontend(
@@ -332,16 +392,10 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
         decim_cur = filtered.reshape(-1, n_sym, cfg.cycles)
         decim_cur = jnp.swapaxes(decim_cur, -1, -2)
         windows = jnp.concatenate([st.decim_prev, decim_cur], axis=-1)
-        lag, phase_idx, peak = _hunt(cfg, windows)
-        symbols = jnp.take_along_axis(
-            windows, phase_idx[..., None, None].astype(jnp.int32),
-            axis=-2)[..., 0, :]
-        # right pad: max start (n_lags-1) + pkt_len - (off + 2*n_sym)
-        rpad = (n_sym - 1) + pkt_len - (off + 2 * n_sym)
-        sympad = jnp.pad(symbols, [(0, 0), (off, max(rpad, 0))])
+        lag, phase_idx, peak, frac = _hunt(cfg, windows)
         pkt = jax.vmap(
-            lambda s, l: lax.dynamic_slice_in_dim(s, l, pkt_len)
-        )(sympad, lag)
+            lambda w, l, p, f: _extract_packet(cfg, w, l, p, f)
+        )(windows, lag, phase_idx, frac)
 
         # Smaller channel block than the front-end: the decode kernel's
         # live dataflow (~50 [cb, 384] f32 values) must fit the 16 MB

@@ -23,6 +23,25 @@ import numpy as np
 from jax import lax
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The tunneled dev chip pays 1-8 min per Mosaic/XLA compile; a
+    process-spanning on-disk cache cuts repeat invocations (bench, CLI,
+    driver entry) to cache hits.  Safe to call multiple times.
+    """
+    import os
+
+    if path is None:
+        path = os.environ.get(
+            "SINGLECARRIER_JAX_CACHE",
+            os.path.expanduser("~/.cache/singlecarrier_tpu/jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def device_complex(arr):
     """jnp-ify a host array; complex goes as two real constants.
 

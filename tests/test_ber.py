@@ -30,15 +30,15 @@ def test_low_snr_detects(sweep):
 
 
 def test_theory_anchor(sweep):
-    """Measured BER within ~4.5 dB of the coherent QPSK theory curve.
+    """Measured BER within 1.5 dB of the coherent QPSK theory curve.
 
-    Loss budget: +-0.5-sample timing quantization (no fractional
-    interpolator yet), 5-tap LS estimation noise from 128 half-amplitude
-    training chips, phase-estimation noise.  Tightening this bound is
-    tracked work (fractional timing recovery).
+    Measured implementation loss is 0.5-1.0 dB across 2-8 dB passband
+    SNR (slicer-SNR probes confirm the decision point sits at the
+    matched-filter bound minus the LS-estimation noise of 128
+    half-amplitude training chips + decision-directed refit).
     """
     p = sweep[1]   # 6 dB passband
-    worse = qpsk_theory_ber(p["ebn0_db"] - 4.5)[0]
+    worse = qpsk_theory_ber(p["ebn0_db"] - 1.5)[0]
     assert p["ber"] <= worse + 0.02, (p, worse)
 
 

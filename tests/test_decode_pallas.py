@@ -8,6 +8,7 @@ from jax import lax
 from singlecarrier_tpu.config import DEFAULT_CONFIG as CFG
 from singlecarrier_tpu.modem import prod_rx_init, tx_stream
 from singlecarrier_tpu.modem.rx_production import (
+    _extract_packet,
     _hunt,
     prod_rx_stream,
 )
@@ -30,10 +31,8 @@ def _extract_pkts(pcm_frames):
         filt, tail, phase = frontend_reference(CFG, pcm, phase, tail)
         decim_cur = filt.reshape(n_sym, CFG.cycles).T
         windows = jnp.concatenate([decim_prev, decim_cur], axis=-1)
-        lag, pidx, peak = _hunt(CFG, windows)
-        symbols = windows[pidx]
-        sympad = jnp.pad(symbols, (off, pkt_len))
-        pkt = lax.dynamic_slice_in_dim(sympad, lag, pkt_len)
+        lag, pidx, peak, frac = _hunt(CFG, windows)
+        pkt = _extract_packet(CFG, windows, lag, pidx, frac)
         pkts.append(np.asarray(pkt))
         peaks.append(float(peak))
         lags.append(int(lag))
