@@ -62,6 +62,12 @@ class ModemConfig:
     nlms_mu: float = 0.5          # production data-phase NLMS step size
     hunt_dtype: str = "bf16"      # correlation-hunt matmul precision
                                   # ("bf16" | "f32"); peak statistic only
+    frontend_dtype: str = "bf16"  # fused front-end matched-filter matmul
+                                  # precision ("bf16" | "f32").  bf16
+                                  # runs the MXU at full rate; its
+                                  # ~-45 dBc quantization floor sits far
+                                  # below any operating channel SNR.
+                                  # "f32" for bit-conservative parity
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
     phase_refine_iters: int = 2   # decision-directed phase-ramp passes
     ls_refit_iters: int = 1       # decision-directed LS refit passes

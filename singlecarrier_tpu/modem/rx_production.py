@@ -348,6 +348,57 @@ def prod_rx_stream(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     return lax.scan(body, state, pcm_frames)
 
 
+def _hunt_planes(cfg: ModemConfig, windows):
+    """Plane-typed hunt: ``windows`` [C, cyc, 2, 2*n_sym] f32 (real/imag
+    planes on axis 2).  Same metric as ``_hunt``; returns
+    (lag, phase_idx, peak)."""
+    n_lags = cfg.symbols_per_block
+    p = cfg.preamble_length
+    n_seg = cfg.corr_segments
+    mat = jnp.asarray(_segment_band_matrix(n_lags, n_seg, p))
+    dt = jnp.bfloat16 if cfg.hunt_dtype == "bf16" else jnp.float32
+
+    C, cyc = windows.shape[0], windows.shape[1]
+    w = windows[..., :n_lags + p - 1].astype(dt)
+    planes = w.reshape(C, cyc * 2, -1)
+    corr = jnp.matmul(planes, mat.astype(dt),
+                      preferred_element_type=jnp.float32)
+    corr = corr.reshape(C, cyc, 2, n_lags, n_seg)
+    power = 2.0 * (corr * corr).sum(axis=(-3, -1))     # [C, cyc, lags]
+
+    flat = power.reshape(C, -1)
+    idx = jnp.argmax(flat, axis=-1)
+    peak = jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]
+    phase_idx = (idx // n_lags).astype(jnp.int32)
+    lag = (idx % n_lags).astype(jnp.int32)
+    return lag, phase_idx, peak
+
+
+def _extract_packet_planes(cfg: ModemConfig, windows, lag, phase_idx):
+    """Plane-typed packet extraction (integer timing only).
+
+    ``windows``: [C, cyc, 2, 2*n_sym] f32.  pkt[t] =
+    windows[phase_idx, :, lag - off + t] (identical alignment to
+    ``_extract_packet`` with frac=0): phase select is a one-hot
+    contraction over the cyc axis, then one symbol-domain dynamic
+    slice per channel -- no time-ordered 5x-oversampled intermediate.
+    Returns [C, 2, pkt_window].
+    """
+    cyc = cfg.cycles
+    off = cfg.eq_length // 2
+    pkt_len = cfg.pkt_window
+    W = windows.shape[-1]
+
+    oh = jax.nn.one_hot(phase_idx, cyc, dtype=windows.dtype)
+    sel = jnp.einsum("bc,bcpw->bpw", oh, windows)       # [C, 2, W]
+    rpad = max(0, (cfg.symbols_per_block - 1) + pkt_len - (off + W))
+    sp = jnp.pad(sel, ((0, 0), (0, 0), (off, rpad)))
+    pkt = jax.vmap(
+        lambda s, l: lax.dynamic_slice_in_dim(s, l, pkt_len, axis=-1)
+    )(sp, lag)
+    return pkt
+
+
 def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
                           pcm_frames, *, descramble: bool = True,
                           block_channels: int = 256,
@@ -364,64 +415,106 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
     descramble) runs as a second fused kernel (ops/decode_pallas.py),
     leaving only decimation, the bf16 hunt matmul, and the packet
     extraction in XLA.
+
+    The fused path carries ALL scan state as real/imag float planes
+    (complex64 never appears inside the scan body): Mosaic has no
+    complex dtype, so a complex-typed carry forces plane<->complex
+    conversion glue on every stage boundary -- measurably the largest
+    non-kernel cost of the previous design (ROADMAP.md round-1 perf
+    table).  Conversion to/from the public complex ``ProdRxState``
+    happens once per stream call.
     """
     from ..ops.decode_pallas import fused_decode
-    from ..ops.frontend_pallas import fused_frontend
+    from ..ops.frontend_pallas import fused_frontend, fused_frontend_decim
 
     n_sym = cfg.symbols_per_block
 
-    def body(st, pcm):
-        fr, fi, ntr, nti, npr, npi = fused_frontend(
-            cfg, pcm, st.phase.real, st.phase.imag,
-            st.fir_tail.real, st.fir_tail.imag,
-            block_channels=block_channels, interpret=interpret)
-        filtered = lax.complex(fr, fi)
+    if not fuse_decode or cfg.frac_timing:
+        # Reference-structured path (complex carry, XLA backend or
+        # fractional-timing extraction).
+        def body_c(st, pcm):
+            fr, fi, ntr, nti, npr, npi = fused_frontend(
+                cfg, pcm, st.phase.real, st.phase.imag,
+                st.fir_tail.real, st.fir_tail.imag,
+                block_channels=block_channels, interpret=interpret)
+            filtered = lax.complex(fr, fi)
 
-        if not fuse_decode:
-            decim_cur, out = jax.vmap(
-                lambda dp, f: prod_rx_backend(cfg, dp, f,
-                                              descramble=descramble)
-            )(st.decim_prev, filtered)
+            if not fuse_decode:
+                decim_cur, out = jax.vmap(
+                    lambda dp, f: prod_rx_backend(cfg, dp, f,
+                                                  descramble=descramble)
+                )(st.decim_prev, filtered)
+            else:
+                decim_cur = filtered.reshape(-1, n_sym, cfg.cycles)
+                decim_cur = jnp.swapaxes(decim_cur, -1, -2)
+                windows = jnp.concatenate(
+                    [st.decim_prev, decim_cur], axis=-1)
+                lag, phase_idx, peak, frac = _hunt(cfg, windows)
+                pkt = jax.vmap(
+                    lambda w, l, p, f: _extract_packet(cfg, w, l, p, f)
+                )(windows, lag, phase_idx, frac)
+                dec = fused_decode(
+                    cfg, pkt.real, pkt.imag, peak,
+                    descramble=descramble,
+                    block_channels=min(decode_block_channels,
+                                       pkt.shape[0]),
+                    interpret=interpret)
+                out = _decode_out(cfg, dec, lag, phase_idx, peak)
+
             new_state = ProdRxState(
                 phase=lax.complex(npr, npi),
                 fir_tail=lax.complex(ntr, nti),
                 decim_prev=decim_cur)
             return new_state, out
 
-        # Decimate + hunt + packet extraction (XLA), batched.
-        decim_cur = filtered.reshape(-1, n_sym, cfg.cycles)
-        decim_cur = jnp.swapaxes(decim_cur, -1, -2)
-        windows = jnp.concatenate([st.decim_prev, decim_cur], axis=-1)
-        lag, phase_idx, peak, frac = _hunt(cfg, windows)
-        pkt = jax.vmap(
-            lambda w, l, p, f: _extract_packet(cfg, w, l, p, f)
-        )(windows, lag, phase_idx, frac)
+        return lax.scan(body_c, state, pcm_frames)
+
+    # ---- plane-typed fast path ----
+    def body(st, pcm):
+        pr, pi_, tr, ti, dprev = st
+        dcur, ntr, nti, npr, npi = fused_frontend_decim(
+            cfg, pcm, pr, pi_, tr, ti,
+            block_channels=block_channels, interpret=interpret)
+
+        C = dcur.shape[0]
+        windows = jnp.concatenate([dprev, dcur], axis=-1)
+
+        lag, phase_idx, peak = _hunt_planes(cfg, windows)
+        pkt = _extract_packet_planes(cfg, windows, lag, phase_idx)
 
         # Smaller channel block than the front-end: the decode kernel's
         # live dataflow (~50 [cb, 384] f32 values) must fit the 16 MB
         # VMEM scoped stack.
-        dec = fused_decode(cfg, pkt.real, pkt.imag, peak,
+        dec = fused_decode(cfg, pkt[:, 0], pkt[:, 1], peak,
                            descramble=descramble,
-                           block_channels=min(decode_block_channels,
-                                              pkt.shape[0]),
+                           block_channels=min(decode_block_channels, C),
                            interpret=interpret)
-        valid = dec["gated"] & (dec["matches"] > cfg.match_threshold)
-        dibits = dec["dibits"].astype(jnp.uint8)
-        bits = jnp.stack([dibits & 1, dibits >> 1], axis=-1).reshape(
-            dibits.shape[0], -1).astype(jnp.uint8)
+        out = _decode_out(cfg, dec, lag, phase_idx, peak)
+        return (npr, npi, ntr, nti, dcur), out
 
-        out = ProdRxOut(
-            valid=valid, bits=bits, matches=dec["matches"], lag=lag,
-            timing_phase=phase_idx, peak=peak, energy=dec["energy"],
-            cfo_hz=dec["cfo_hz"], eq_error=dec["eq_error"],
-        )
-        new_state = ProdRxState(
-            phase=lax.complex(npr, npi),
-            fir_tail=lax.complex(ntr, nti),
-            decim_prev=decim_cur)
-        return new_state, out
+    st0 = (state.phase.real, state.phase.imag,
+           state.fir_tail.real, state.fir_tail.imag,
+           jnp.stack([state.decim_prev.real, state.decim_prev.imag],
+                     axis=2))
+    (npr, npi, ntr, nti, dcur), outs = lax.scan(body, st0, pcm_frames)
+    final = ProdRxState(
+        phase=lax.complex(npr, npi),
+        fir_tail=lax.complex(ntr, nti),
+        decim_prev=lax.complex(dcur[:, :, 0], dcur[:, :, 1]))
+    return final, outs
 
-    return lax.scan(body, state, pcm_frames)
+
+def _decode_out(cfg: ModemConfig, dec, lag, phase_idx, peak) -> ProdRxOut:
+    """Assemble ProdRxOut from the fused-decode kernel's stat dict."""
+    valid = dec["gated"] & (dec["matches"] > cfg.match_threshold)
+    dibits = dec["dibits"].astype(jnp.uint8)
+    bits = jnp.stack([dibits & 1, dibits >> 1], axis=-1).reshape(
+        dibits.shape[0], -1).astype(jnp.uint8)
+    return ProdRxOut(
+        valid=valid, bits=bits, matches=dec["matches"], lag=lag,
+        timing_phase=phase_idx, peak=peak, energy=dec["energy"],
+        cfo_hz=dec["cfo_hz"], eq_error=dec["eq_error"],
+    )
 
 
 def make_prod_rx_fn(cfg: ModemConfig, *, descramble: bool = True,

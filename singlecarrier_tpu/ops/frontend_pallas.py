@@ -146,6 +146,144 @@ def fused_frontend(cfg: ModemConfig, pcm, phase_r, phase_i,
     return filt_r, filt_i, ntail_r, ntail_i, npr / mag, npi / mag
 
 
+def _kernel_decim(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref, out_ref,
+                  zr_ref, zi_ref, *, n: int, ntaps: int, cyc: int,
+                  n_sym: int, chunk: int, inv_scale: float):
+    """Decimating-matmul front-end: downmix on the VPU, then the RRC
+    matched filter + decimation as MXU matmuls.
+
+    The shifted-MAC formulation (``_kernel``) is VMEM-bandwidth-bound:
+    every one of the 49 taps re-reads the [cb, n] window and
+    read-modify-writes the accumulator through the output ref.  Here
+    y_dec[c, s] = sum_k w_k z[s*cyc + c + k] is computed 128 symbols at
+    a time as ``z[:, start:start+K] @ T`` with the banded tap matrix
+    T[cyc*j + k, j] = w_k -- each output element is ONE MXU matmul
+    result, the decimation is folded into T's row stride, and the
+    output is emitted directly in decimated [cyc, plane, sym] layout
+    (no XLA-side transpose).
+    """
+    halo = ntaps - 1
+    nchunk = -(-n_sym // chunk)
+    klen = cyc * (chunk - 1) + ntaps
+    zdt = zr_ref.dtype
+
+    x = pcm_ref[...].astype(jnp.float32) * inv_scale       # [CB, n]
+    pr = ph_ref[:, 0:1, 0]
+    pi = ph_ref[:, 1:2, 0]
+    tr = tab_ref[0, 0:1, :]
+    ti = tab_ref[0, 1:2, :]
+    zr_ref[:, :halo] = tail_ref[:, 0, :].astype(zdt)
+    zi_ref[:, :halo] = tail_ref[:, 1, :].astype(zdt)
+    zr_ref[:, halo:halo + n] = (x * (pr * tr - pi * ti)).astype(zdt)
+    zi_ref[:, halo:halo + n] = (x * (pr * ti + pi * tr)).astype(zdt)
+    pad = zr_ref.shape[-1] - (halo + n)
+    if pad:
+        zr_ref[:, halo + n:] = jnp.zeros_like(zr_ref[:, halo + n:])
+        zi_ref[:, halo + n:] = jnp.zeros_like(zi_ref[:, halo + n:])
+
+    td = tdec_ref[0]                                       # [klen, chunk]
+    for c in range(cyc):
+        for p, z_ref in enumerate((zr_ref, zi_ref)):
+            for b in range(nchunk):
+                start = b * cyc * chunk + c
+                y = jnp.dot(z_ref[:, start:start + klen], td,
+                            preferred_element_type=jnp.float32)
+                w = min(chunk, n_sym - b * chunk)
+                out_ref[:, c, p, b * chunk:b * chunk + w] = y[:, :w]
+
+
+@functools.lru_cache(maxsize=8)
+def _decim_tap_matrix(alpha: float, ntaps: int, gain: float, cyc: int,
+                      chunk: int):
+    """T[cyc*j + k, j] = gain * taps[k] (float32)."""
+    taps = rrc_taps(alpha, ntaps) * gain
+    klen = cyc * (chunk - 1) + ntaps
+    t = np.zeros((klen, chunk), np.float32)
+    for j in range(chunk):
+        t[cyc * j:cyc * j + ntaps, j] = taps
+    return t
+
+
+def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
+                         tail_r, tail_i, *, block_channels: int = 256,
+                         chunk: int = 128, interpret: bool = False):
+    """Fused front-end emitting decimated symbol planes.
+
+    Same contract as ``fused_frontend`` but returns
+    ``(decim, new_tail_r, new_tail_i, new_phase_r, new_phase_i)`` where
+    ``decim`` is [C, cycles, 2, symbols_per_block] float32 -- the
+    matched-filter output already split by decimation phase (axis 1)
+    and real/imag plane (axis 2), i.e. the hunt-window layout.
+
+    ``cfg.frontend_dtype`` selects the matmul input precision: "bf16"
+    runs the MXU at full rate (quantization floor ~-45 dBc, far below
+    any operating channel SNR); "f32" for bit-conservative parity runs.
+    """
+    n = cfg.frame_size
+    ntaps = cfg.ntaps
+    halo = ntaps - 1
+    cyc = cfg.cycles
+    n_sym = cfg.symbols_per_block
+    C = pcm.shape[0]
+    cb = min(block_channels, C)
+    assert C % cb == 0, (C, cb)
+    nchunk = -(-n_sym // chunk)
+    klen = cyc * (chunk - 1) + ntaps
+    zlen = max(halo + n, (nchunk - 1) * cyc * chunk + (cyc - 1) + klen)
+    zdt = jnp.bfloat16 if cfg.frontend_dtype == "bf16" else jnp.float32
+
+    table = mixer_table(-cfg.center, cfg.fs, n)
+    tab = jnp.asarray(
+        np.stack([table.real, table.imag]).reshape(1, 2, n))
+    td_np = _decim_tap_matrix(cfg.alpha, cfg.ntaps, cfg.fir_gain, cyc,
+                              chunk)
+    td = jnp.asarray(td_np.reshape(1, klen, chunk)).astype(zdt)
+    phases = jnp.stack([phase_r, phase_i], axis=1)[..., None]  # [C,2,1]
+    tails = jnp.stack([tail_r, tail_i], axis=1)                # [C,2,halo]
+
+    kern = functools.partial(
+        _kernel_decim, n=n, ntaps=ntaps, cyc=cyc, n_sym=n_sym,
+        chunk=chunk, inv_scale=1.0 / cfg.tx_amplitude)
+
+    decim = pl.pallas_call(
+        kern,
+        grid=(C // cb,),
+        in_specs=[
+            pl.BlockSpec((cb, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 2, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 2, halo), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, klen, chunk), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, cyc, 2, n_sym), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, cyc, 2, n_sym), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((cb, zlen), zdt),
+            pltpu.VMEM((cb, zlen), zdt),
+        ],
+        interpret=interpret,
+    )(pcm, phases, tails, tab, td)
+
+    # New FIR tail + phase advance (identical to fused_frontend).
+    x_t = pcm[:, n - halo:].astype(jnp.float32) / cfg.tx_amplitude
+    tr_t = jnp.asarray(table.real[n - halo:])
+    ti_t = jnp.asarray(table.imag[n - halo:])
+    ntail_r = x_t * (phase_r[:, None] * tr_t - phase_i[:, None] * ti_t)
+    ntail_i = x_t * (phase_r[:, None] * ti_t + phase_i[:, None] * tr_t)
+
+    adv = table[n - 1]
+    npr = phase_r * np.float32(adv.real) - phase_i * np.float32(adv.imag)
+    npi = phase_r * np.float32(adv.imag) + phase_i * np.float32(adv.real)
+    mag = jnp.sqrt(npr * npr + npi * npi)
+    return decim, ntail_r, ntail_i, npr / mag, npi / mag
+
+
 def frontend_reference(cfg: ModemConfig, pcm, phase, tail):
     """XLA oracle: mixer + FIR (dsp/mixer.py, dsp/fir.py)."""
     x = pcm.astype(jnp.float32) / cfg.tx_amplitude
