@@ -1,5 +1,7 @@
 from .stream import StreamDemodulator
 from .checkpoint import save_state, restore_state
+from .failover import (ElasticDemodulator, Heartbeat, failed_processes,
+                       health_check, monitor_heartbeats)
 from .metrics import MetricsAggregator
 from .profiling import ThroughputMeter, log_compiles, trace
 
@@ -7,6 +9,11 @@ __all__ = [
     "StreamDemodulator",
     "save_state",
     "restore_state",
+    "ElasticDemodulator",
+    "Heartbeat",
+    "failed_processes",
+    "health_check",
+    "monitor_heartbeats",
     "MetricsAggregator",
     "ThroughputMeter",
     "log_compiles",
