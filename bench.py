@@ -36,11 +36,14 @@ def main() -> None:
     ap.add_argument("--blocks", type=int, default=16)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--mode", choices=["production", "faithful"],
+    ap.add_argument("--mode",
+                    choices=["production", "production-scan", "faithful"],
                     default="production",
-                    help="production = Pallas-fused intended-semantics RX "
-                         "(headline); faithful = reference-exact Kalman-"
-                         "scan RX (completeness datapoint)")
+                    help="production = block-parallel Pallas-fused RX "
+                         "(headline; no scan -- closed-form carries); "
+                         "production-scan = streaming scan variant; "
+                         "faithful = reference-exact Kalman-scan RX "
+                         "(completeness datapoint)")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +75,7 @@ def main() -> None:
                         + out.eof_cost.sum())
 
         state = rx_init(cfg, (C,))
-    else:
+    elif args.mode == "production-scan":
         from singlecarrier_tpu.modem import prod_rx_init
         from singlecarrier_tpu.modem.rx_production import \
             prod_rx_stream_pallas
@@ -81,6 +84,17 @@ def main() -> None:
         def step(state, pcm):
             st, out = prod_rx_stream_pallas(cfg, state, pcm)
             # scalar checksum forces real completion through the tunnel
+            return st, (out.valid.sum().astype(jnp.float32)
+                        + out.eq_error.sum())
+
+        state = prod_rx_init(cfg, (C,))
+    else:
+        from singlecarrier_tpu.modem import prod_rx_init
+        from singlecarrier_tpu.modem.rx_production import prod_rx_batch
+
+        @jax.jit
+        def step(state, pcm):
+            st, out = prod_rx_batch(cfg, state, pcm)
             return st, (out.valid.sum().astype(jnp.float32)
                         + out.eq_error.sum())
 

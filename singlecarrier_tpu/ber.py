@@ -45,7 +45,7 @@ def snr_to_ebn0_db(snr_db, cfg: ModemConfig) -> float:
 
 
 def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
-            phase_rad=0.0, delay=0.0, n_packets: int = 10,
+            phase_rad=0.0, delay=0.0, ppm=0.0, n_packets: int = 10,
             n_trials: int = 4, drop_tail_bits: int = 0):
     """One sweep point; returns dict with ber / detection stats.
 
@@ -54,6 +54,14 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
     count (for reference-TX streams whose pulse tails are truncated --
     see modem/tx.py _flushed_gap; our own TX uses flush_gap and needs
     no exclusion).
+
+    Detected packets are matched to sent packets BY STREAM POSITION:
+    packet p's preamble starts at sample p*packet_size, and the RX
+    reports each detection's absolute position via (block, lag,
+    timing_phase); a spurious detect therefore cannot misalign the
+    whole trial (the failure mode of order-based zipping).  Multiple
+    detections mapping to one sent packet keep the position-closest
+    one; undetected packets count as half-errored payload.
     """
     kb, kn = jax.random.split(key)
     bits = jax.random.randint(
@@ -68,7 +76,7 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
 
     def one_trial(k):
         x = channel(k, padded, snr_db=snr_db, freq_hz=freq_hz,
-                    phase_rad=phase_rad, delay=delay, fs=cfg.fs)
+                    phase_rad=phase_rad, delay=delay, ppm=ppm, fs=cfg.fs)
         frames = x.reshape(n_blocks, cfg.frame_size)
         _, out = prod_rx_stream(cfg, prod_rx_init(cfg), frames,
                                 descramble=False)
@@ -79,28 +87,46 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
     ref = np.asarray(bits).reshape(n_packets, cfg.bits_per_frame)
     valid = np.asarray(out.valid)
     got = np.asarray(out.bits)
+    lag = np.asarray(out.lag)
+    phs = np.asarray(out.timing_phase)
 
     total_bits = 0
     err_bits = 0
     detected = 0
+    false_detects = 0
     sl = slice(None, None if drop_tail_bits == 0 else -drop_tail_bits)
     for t in range(n_trials):
         vidx = np.nonzero(valid[t])[0]
-        detected += len(vidx)
-        # align detected packets to sent packets in order
-        for i, fr in enumerate(vidx[:n_packets]):
+        # hunt window of block b = [prev | cur] -> absolute preamble
+        # start sample = (b-1)*frame_size + lag*cycles + phase
+        assigned: dict[int, tuple[float, int]] = {}
+        for fr in vidx:
+            pos = ((int(fr) - 1) * cfg.frame_size
+                   + int(lag[t, fr]) * cfg.cycles + int(phs[t, fr]))
+            p = int(round(pos / cfg.packet_size))
+            perr = abs(pos - p * cfg.packet_size)
+            if not 0 <= p < n_packets or perr > cfg.packet_size // 4:
+                false_detects += 1
+                continue
+            if p not in assigned or perr < assigned[p][0]:
+                if p in assigned:
+                    false_detects += 1
+                assigned[p] = (perr, int(fr))
+        detected += len(assigned)
+        for p, (_, fr) in assigned.items():
             g = got[t, fr][sl]
-            r = ref[i][sl]
+            r = ref[p][sl]
             total_bits += len(r)
             err_bits += int((g != r).sum())
-        # undetected packets count as fully errored payload
-        missed = n_packets - min(len(vidx), n_packets)
+        # undetected packets count as half-errored payload
+        missed = n_packets - len(assigned)
         total_bits += missed * len(ref[0][sl])
         err_bits += missed * (len(ref[0][sl]) // 2)
 
     return {
         "ber": err_bits / max(total_bits, 1),
         "detection_rate": detected / (n_trials * n_packets),
+        "false_detects": false_detects,
         "snr_db": snr_db,
         "ebn0_db": None if snr_db is None else snr_to_ebn0_db(snr_db, cfg),
     }

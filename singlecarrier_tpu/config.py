@@ -177,6 +177,21 @@ class ModemConfig:
             raise ValueError("fine_timing_offset must be in [0, cycles)")
         if not 0 <= self.scramble_seed < (1 << 15):
             raise ValueError("scramble_seed must fit in 15 bits")
+        if self.inter_packet_gap < 0:
+            raise ValueError("inter_packet_gap must be >= 0")
+        # Production-RX hunt invariants (modem/rx_production.py _hunt):
+        # one argmax is taken per block, which is only exhaustive if at
+        # most ONE preamble can start within any frame_size span of the
+        # stream.  packet_size = frame_size + gap >= frame_size
+        # guarantees that for gap >= 0 (asserted above); the preamble
+        # must also fit inside the 2-block hunt window at the largest
+        # searchable lag, i.e. preamble_length <= symbols_per_block.
+        if self.preamble_length > self.symbols_per_block:
+            raise ValueError(
+                f"preamble_length ({self.preamble_length}) must be <= "
+                f"symbols_per_block ({self.symbols_per_block}): the "
+                "single-peak-per-block hunt cannot contain the preamble "
+                "in its 2-block window at the last searchable lag")
 
     def replace(self, **kw) -> "ModemConfig":
         return dataclasses.replace(self, **kw)

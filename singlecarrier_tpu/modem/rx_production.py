@@ -46,7 +46,7 @@ from ..config import ModemConfig
 from ..constants import PREAMBLE_VALUES, rrc_taps
 from ..dsp.fftops import estimate_cfo
 from ..dsp.fir import fir_block, fir_init_state
-from ..dsp.mixer import mix_block, mixer_init_phase
+from ..dsp.mixer import mix_block, mixer_init_phase, mixer_table
 from ..scramble import scramble_dibits
 from ..utils.compat import czeros
 
@@ -348,10 +348,12 @@ def prod_rx_stream(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     return lax.scan(body, state, pcm_frames)
 
 
-def _hunt_planes(cfg: ModemConfig, windows):
-    """Plane-typed hunt: ``windows`` [C, cyc, 2, 2*n_sym] f32 (real/imag
-    planes on axis 2).  Same metric as ``_hunt``; returns
-    (lag, phase_idx, peak)."""
+def _hunt_planes(cfg: ModemConfig, windows, *, col_offset: int = 0):
+    """Plane-typed hunt: ``windows`` [C, cyc, 2, >=2*n_sym] f32
+    (real/imag planes on axis 2).  Same metric as ``_hunt``; returns
+    (lag, phase_idx, peak).  ``col_offset`` skips leading pad columns
+    (the fused-extract path stores windows left-padded by eq_length//2
+    so the DMA extraction can index packets at ``lag`` directly)."""
     n_lags = cfg.symbols_per_block
     p = cfg.preamble_length
     n_seg = cfg.corr_segments
@@ -359,7 +361,7 @@ def _hunt_planes(cfg: ModemConfig, windows):
     dt = jnp.bfloat16 if cfg.hunt_dtype == "bf16" else jnp.float32
 
     C, cyc = windows.shape[0], windows.shape[1]
-    w = windows[..., :n_lags + p - 1].astype(dt)
+    w = windows[..., col_offset:col_offset + n_lags + p - 1].astype(dt)
     planes = w.reshape(C, cyc * 2, -1)
     corr = jnp.matmul(planes, mat.astype(dt),
                       preferred_element_type=jnp.float32)
@@ -502,6 +504,128 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
         fir_tail=lax.complex(ntr, nti),
         decim_prev=lax.complex(dcur[:, :, 0], dcur[:, :, 1]))
     return final, outs
+
+
+def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
+                  descramble: bool = True, block_channels: int = 128,
+                  decode_block_channels: int = 64,
+                  fuse_extract: bool = True,
+                  interpret: bool = False):
+    """Block-PARALLEL batched demod: no scan, no sequential carries.
+
+    Same contract as ``prod_rx_stream_pallas`` (``pcm_frames``
+    [n_frames, C, frame_size] int16 -> (final_state, outs with
+    [n_frames, C, ...] leaves)) but exploits that every carried
+    quantity of the production RX is a CLOSED-FORM function of the raw
+    input:
+
+      * the mixer phase advances by a constant unit phasor per block:
+        phase_b = phase_0 * adv^b, with adv^b tabulated in float64;
+      * the FIR halo entering block b is just the last ntaps-1
+        downmixed samples of raw block b-1 (a handful of elementwise
+        ops on the raw PCM tail);
+      * the hunt window's previous-block symbols are another batch
+        element's front-end output.
+
+    All n_frames*C (block, channel) pairs therefore run as ONE batched
+    front-end kernel + ONE hunt matmul + ONE extraction + ONE decode
+    kernel -- a lax.scan would serialize n_frames dispatch rounds for
+    carries that were never actually sequential.  (The reference's
+    per-sample recursions -- running phasor qpsk.c:139-147, FIR delay
+    line fir.c:30-34 -- are the source of the apparent dependency; both
+    are linear and time-invariant, hence the closed forms.)
+
+    This is the throughput path (bench.py).  For streaming arrival
+    (one block at a time) use ``prod_rx_stream_pallas``; results agree
+    to decision level (tests/test_batch_rx.py).
+    """
+    from ..ops.decode_pallas import fused_decode
+    from ..ops.frontend_pallas import fused_frontend_decim
+
+    B, C = pcm_frames.shape[0], pcm_frames.shape[1]
+    n = cfg.frame_size
+    halo = cfg.ntaps - 1
+    n_sym = cfg.symbols_per_block
+    inv_scale = 1.0 / cfg.tx_amplitude
+
+    table = mixer_table(-cfg.center, cfg.fs, n)
+    # adv^b for b in [0, B], float64 phase -> exactly-unit complex64
+    w = -2.0 * np.pi * cfg.center / cfg.fs
+    advs = np.exp(1j * w * n * np.arange(B + 1)).astype(np.complex64)
+
+    # phases[b] = phase_0 * adv^b  (planes [B, C])
+    p0r, p0i = state.phase.real, state.phase.imag
+    ar = jnp.asarray(advs.real[:B, None])
+    ai = jnp.asarray(advs.imag[:B, None])
+    ph_r = p0r[None, :] * ar - p0i[None, :] * ai
+    ph_i = p0r[None, :] * ai + p0i[None, :] * ar
+
+    # tails[b] = last `halo` downmixed samples of raw block b-1
+    # (tails[0] = carried state), in scaled units.
+    x_t = pcm_frames[:, :, n - halo:].astype(jnp.float32) * inv_scale
+    tr_t = jnp.asarray(table.real[n - halo:])
+    ti_t = jnp.asarray(table.imag[n - halo:])
+    tl_r = x_t * (ph_r[..., None] * tr_t - ph_i[..., None] * ti_t)
+    tl_i = x_t * (ph_r[..., None] * ti_t + ph_i[..., None] * tr_t)
+    tails_r = jnp.concatenate([state.fir_tail.real[None], tl_r[:-1]], 0)
+    tails_i = jnp.concatenate([state.fir_tail.imag[None], tl_i[:-1]], 0)
+
+    # ---- one batched front-end over all B*C (block, channel) pairs ----
+    N = B * C
+    dcur, _, _, _, _ = fused_frontend_decim(
+        cfg, pcm_frames.reshape(N, n),
+        ph_r.reshape(N), ph_i.reshape(N),
+        tails_r.reshape(N, halo), tails_i.reshape(N, halo),
+        block_channels=min(block_channels, N), interpret=interpret)
+    decim = dcur.reshape(B, C, cfg.cycles, 2, n_sym)
+
+    # hunt windows: [prev | cur] along the symbol axis
+    dprev0 = jnp.stack([state.decim_prev.real, state.decim_prev.imag],
+                       axis=1)                           # [C, 2, ...]
+    dprev0 = jnp.swapaxes(dprev0, 1, 2)[None]            # [1, C, cyc, 2, .]
+    dprev = jnp.concatenate([dprev0, decim[:-1]], axis=0)
+
+    if fuse_extract:
+        # One padded windows array serves BOTH the hunt (reads at a
+        # column offset) and the in-kernel DMA extraction (indexes
+        # packets at `lag` directly): [off | prev | cur | rpad].
+        from ..ops.decode_pallas import fused_decode_extract
+        off = cfg.eq_length // 2
+        need = (n_sym - 1) + cfg.pkt_window
+        wp = -(-max(need, off + 2 * n_sym) // 128) * 128
+        zl = jnp.zeros((B, C, cfg.cycles, 2, off), jnp.float32)
+        zr_ = jnp.zeros((B, C, cfg.cycles, 2, wp - off - 2 * n_sym),
+                        jnp.float32)
+        windows = jnp.concatenate([zl, dprev, decim, zr_], -1).reshape(
+            N, cfg.cycles, 2, wp)
+        lag, phase_idx, peak = _hunt_planes(cfg, windows,
+                                            col_offset=off)
+        dec = fused_decode_extract(
+            cfg, windows, lag, phase_idx, peak, descramble=descramble,
+            block_channels=min(decode_block_channels, N),
+            interpret=interpret)
+    else:
+        windows = jnp.concatenate([dprev, decim], axis=-1).reshape(
+            N, cfg.cycles, 2, 2 * n_sym)
+        lag, phase_idx, peak = _hunt_planes(cfg, windows)
+        pkt = _extract_packet_planes(cfg, windows, lag, phase_idx)
+        dec = fused_decode(cfg, pkt[:, 0], pkt[:, 1], peak,
+                           descramble=descramble,
+                           block_channels=min(decode_block_channels, N),
+                           interpret=interpret)
+    out = _decode_out(cfg, dec, lag, phase_idx, peak)
+    out = jax.tree.map(lambda x: x.reshape(B, C, *x.shape[1:]), out)
+
+    # ---- final state (closed form) ----
+    fr = p0r * np.float32(advs.real[B]) - p0i * np.float32(advs.imag[B])
+    fi = p0r * np.float32(advs.imag[B]) + p0i * np.float32(advs.real[B])
+    mag = jnp.sqrt(fr * fr + fi * fi)
+    final = ProdRxState(
+        phase=lax.complex(fr / mag, fi / mag),
+        fir_tail=lax.complex(tl_r[-1], tl_i[-1]),
+        decim_prev=lax.complex(decim[-1, :, :, 0, :],
+                               decim[-1, :, :, 1, :]))
+    return final, out
 
 
 def _decode_out(cfg: ModemConfig, dec, lag, phase_idx, peak) -> ProdRxOut:

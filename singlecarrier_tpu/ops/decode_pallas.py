@@ -156,20 +156,29 @@ def _slice_hard(ar, ai):
 def _decode_kernel(pkt_ref, peak_ref, wr_ref, wi_ref, pn_ref, mask_ref,
                    out_ref, *, P, D, L, off, nfft, rs, peak_gate,
                    ls_reg, refit_iters, refine_iters):
-    pr0 = pkt_ref[:, 0, :]
-    pi0 = pkt_ref[:, 1, :]
-    pn = pn_ref[0, 0:1, :]                              # [1, P]
+    _decode_core(pkt_ref[:, 0, :], pkt_ref[:, 1, :], peak_ref[:, 0, :],
+                 wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
+                 mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
+                 nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
+                 refit_iters=refit_iters, refine_iters=refine_iters)
 
+
+def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
+                 off, nfft, rs, peak_gate, ls_reg, refit_iters,
+                 refine_iters):
+    """Shared decode body: aligned packet planes -> out_ref stats.
+
+    pr0/pi0: [cb, pkt_window] values; peak: [cb, 1]; wr/wi: [P, nfft]
+    DFT planes; pn: [1, P]; m: [1, D] descramble mask.
+    """
     chips_r = pr0[:, off:off + P]
     chips_i = pi0[:, off:off + P]
     energy = _reduce_last(chips_r * chips_r + chips_i * chips_i)
-    gated = peak_ref[:, 0, :] > energy * peak_gate      # [cb, 1]
+    gated = peak > energy * peak_gate                   # [cb, 1]
 
     # ---- CFO search: DFT matmul + one-hot parabolic peak ----
     tr = chips_r * pn
     ti = chips_i * pn
-    wr = wr_ref[0]
-    wi = wi_ref[0]
     f32 = jnp.float32
     sr = jnp.dot(tr, wr, preferred_element_type=f32) \
         - jnp.dot(ti, wi, preferred_element_type=f32)
@@ -259,7 +268,6 @@ def _decode_kernel(pkt_ref, peak_ref, wr_ref, wi_ref, pn_ref, mask_ref,
     eq_err = _reduce_last(jnp.sqrt(err_r * err_r + err_i * err_i)) / D
 
     # ---- descramble (XOR via arithmetic on {0..3} dibits) ----
-    m = mask_ref[0, 0:1, :]                             # [1, D]
     di = dib.astype(jnp.int32)
     mi = m.astype(jnp.int32)
     x_i = (di // 2 + mi // 2) % 2
@@ -338,6 +346,131 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
         out_shape=jax.ShapeDtypeStruct((C, n_out), jnp.float32),
         interpret=interpret,
     )(pkt, peak.reshape(C, 1, 1), wr, wi, pn, maskj)
+
+    return {
+        "dibits": out[:, :D],
+        "matches": out[:, D].astype(jnp.int32),
+        "eq_error": out[:, D + 1],
+        "cfo_hz": out[:, D + 2],
+        "gated": out[:, D + 3] > 0.5,
+        "energy": out[:, D + 4],
+    }
+
+
+def _decode_extract_kernel(lag_ref, ph_ref, win_ref, peak_ref, wr_ref,
+                           wi_ref, pn_ref, mask_ref, out_ref, pkt_ref,
+                           sem, *, cb, pkt_len, P, D, L, off, nfft, rs,
+                           peak_gate, ls_reg, refit_iters, refine_iters):
+    """Decode with IN-KERNEL packet extraction.
+
+    ``win_ref`` is the whole hunt-window array [N, cyc, 2, Wp] left in
+    HBM (pl.ANY); each channel's aligned packet [2, pkt_len] is pulled
+    straight into VMEM with one DMA at its dynamic (phase, lag) offset
+    -- scalar-prefetched so the offsets are known up front.  This
+    replaces the XLA extraction stage (one-hot phase einsum + pad +
+    per-channel gather + an extra HBM round trip of the packet array),
+    which profiling showed to be the single most expensive stage of the
+    pipeline (tools/profile_stages.py: 0.87 us of 2.23 us/block-chan).
+    """
+    i = pl.program_id(0)
+
+    def dma(c):
+        ch = i * cb + c
+        return pltpu.make_async_copy(
+            win_ref.at[ch, ph_ref[ch], :, pl.ds(lag_ref[ch], pkt_len)],
+            pkt_ref.at[c],
+            sem.at[c],
+        )
+
+    for c in range(cb):
+        dma(c).start()
+    for c in range(cb):
+        dma(c).wait()
+
+    _decode_core(pkt_ref[:, 0, :], pkt_ref[:, 1, :], peak_ref[:, 0, :],
+                 wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
+                 mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
+                 nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
+                 refit_iters=refit_iters, refine_iters=refine_iters)
+
+
+def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
+                         peak, *, descramble: bool = True,
+                         block_channels: int = 64,
+                         interpret: bool = False):
+    """Fused extract+decode from the padded hunt windows.
+
+    Args:
+      windows:   [N, cycles, 2, Wp] f32 hunt-window planes, where the
+                 time axis is LEFT-padded by eq_length//2 zeros (so a
+                 packet starting at lag l begins at padded index l) and
+                 right-padded so that max_lag + pkt_window <= Wp.
+      lag:       [N] int32 symbol lag of the correlation peak.
+      phase_idx: [N] int32 winning decimation phase.
+      peak:      [N] f32 correlation peak.
+
+    Returns the same stat dict as ``fused_decode``.
+    """
+    P = cfg.preamble_length
+    D = cfg.frame_symbols
+    L = cfg.eq_length
+    off = L // 2
+    nfft = cfg.cfo_nfft
+    pkt_len = cfg.pkt_window
+    N = windows.shape[0]
+    Wp = windows.shape[-1]
+    assert Wp >= (cfg.symbols_per_block - 1) + pkt_len, (Wp, pkt_len)
+    cb = min(block_channels, N)
+    assert N % cb == 0
+    n_out = -(-(D + 5) // 128) * 128
+
+    wm = _dft_matrix(P, nfft)
+    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
+    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
+    pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
+    if descramble:
+        mask = scramble_dibit_mask()[:D].astype(np.float32)
+    else:
+        mask = np.zeros(D, np.float32)
+    maskj = jnp.asarray(mask.reshape(1, 1, D))
+
+    kern = functools.partial(
+        _decode_extract_kernel, cb=cb, pkt_len=pkt_len, P=P, D=D, L=L,
+        off=off, nfft=nfft, rs=cfg.rs, peak_gate=cfg.peak_gate,
+        ls_reg=cfg.ls_reg, refit_iters=cfg.ls_refit_iters,
+        refine_iters=cfg.phase_refine_iters)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // cb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # windows (HBM)
+            pl.BlockSpec((cb, 1, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, n_out), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cb, 2, pkt_len), jnp.float32),
+            pltpu.SemaphoreType.DMA((cb,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, n_out), jnp.float32),
+        interpret=interpret,
+    )(lag.astype(jnp.int32), phase_idx.astype(jnp.int32),
+      windows, peak.reshape(N, 1, 1), wr, wi, pn, maskj)
 
     return {
         "dibits": out[:, :D],

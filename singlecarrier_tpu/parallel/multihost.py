@@ -66,12 +66,20 @@ def make_global_pcm(mesh, pcm_local: np.ndarray):
 
 
 def main() -> int:
+    """Multi-process end-to-end check: every host feeds its local
+    channel block of a REAL modulated packet stream into the globally
+    sharded RX, then verifies the decoded payload bits of its own
+    shards against the (deterministically shared) sent bits.
+
+    Exit code 0 = every local channel decoded every packet error-free.
+    """
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
-    ap.add_argument("--channels", type=int, default=1024)
-    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--channels", type=int, default=None,
+                    help="global channel count (default: 1 per device)")
+    ap.add_argument("--packets", type=int, default=3)
     args = ap.parse_args()
 
     initialize(args.coordinator, args.num_processes, args.process_id)
@@ -81,25 +89,62 @@ def main() -> int:
 
     from ..config import DEFAULT_CONFIG as cfg
     from ..modem.rx_production import prod_rx_init
+    from ..modem.tx import tx_stream
     from .sharded_rx import make_channel_sharded_rx, shard_channel_state
 
+    n_channels = args.channels or len(jax.devices())
     mesh = global_mesh()
-    fn = make_channel_sharded_rx(cfg, mesh)
+    fn = make_channel_sharded_rx(cfg, mesh, descramble=False)
 
-    sl = host_local_channels(args.channels)
-    rng = np.random.default_rng(jax.process_index())
-    local = rng.integers(-16384, 16384,
-                         (sl.stop - sl.start, args.blocks,
-                          cfg.frame_size)).astype(np.int16)
+    # Deterministic payload, identical on every host (seed is shared).
+    rng = np.random.default_rng(42)
+    bits = rng.integers(0, 2, (args.packets, cfg.ns, cfg.data_symbols * 2),
+                        dtype=np.uint8)
+    stream = np.asarray(tx_stream(cfg, jnp.asarray(bits), flush_gap=True))
+    n_blocks = -(-len(stream) // cfg.frame_size)
+    buf = np.zeros(n_blocks * cfg.frame_size, np.int16)
+    buf[:len(stream)] = stream
+    blocks = buf.reshape(n_blocks, cfg.frame_size)
+
+    sl = host_local_channels(n_channels)
+    local = np.broadcast_to(
+        blocks[None], (sl.stop - sl.start, n_blocks, cfg.frame_size)
+    ).copy()
     pcm = make_global_pcm(mesh, local)
-    state = shard_channel_state(prod_rx_init(cfg, (args.channels,)), mesh)
+    state = shard_channel_state(prod_rx_init(cfg, (n_channels,)), mesh)
     state, out = fn(state, pcm)
     jax.block_until_ready(out.valid)
-    if jax.process_index() == 0:
-        print(f"demodulated {args.channels} channels x {args.blocks} "
-              f"blocks over {jax.process_count()} hosts / "
-              f"{len(jax.devices())} devices")
-    return 0
+
+    # Verify THIS host's shards: each local channel must decode every
+    # packet bit-exactly (clean loopback channel).
+    ref = bits.reshape(args.packets, cfg.bits_per_frame)
+    ok = True
+    n_local_ch = 0
+    for vs, bs in zip(out.valid.addressable_shards,
+                      out.bits.addressable_shards):
+        v = np.asarray(vs.data)
+        b = np.asarray(bs.data)
+        for c in range(v.shape[0]):
+            n_local_ch += 1
+            vidx = np.nonzero(v[c])[0]
+            if len(vidx) != args.packets:
+                ok = False
+                continue
+            for i, fr in enumerate(vidx):
+                if not np.array_equal(b[c, fr], ref[i]):
+                    ok = False
+
+    print(f"[host {jax.process_index()}/{jax.process_count()}] "
+          f"{'VERIFIED' if ok else 'MISMATCH'}: {n_local_ch} local "
+          f"channels x {args.packets} packets over {len(jax.devices())} "
+          f"devices ({jax.local_device_count()} local)", flush=True)
+    if jax.process_count() > 1:
+        # Re-align before exit: host-side verification time is skewed
+        # across processes, and the coordination service's shutdown
+        # barrier times out if one process exits much later.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("verify_done")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -1,5 +1,6 @@
 from .stream import StreamDemodulator
-from .checkpoint import save_state, restore_state
+from .checkpoint import (restore_sharded, restore_state, save_sharded,
+                         save_state)
 from .failover import (ElasticDemodulator, Heartbeat, failed_processes,
                        health_check, monitor_heartbeats)
 from .metrics import MetricsAggregator
@@ -9,6 +10,8 @@ __all__ = [
     "StreamDemodulator",
     "save_state",
     "restore_state",
+    "save_sharded",
+    "restore_sharded",
     "ElasticDemodulator",
     "Heartbeat",
     "failed_processes",

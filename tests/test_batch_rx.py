@@ -1,0 +1,89 @@
+"""Block-parallel batch RX (prod_rx_batch) vs the scan paths.
+
+prod_rx_batch removes the lax.scan by computing every carry in closed
+form (mixer phase = phase0 * adv^b, FIR halo = downmixed tail of the
+previous raw block, hunt window = neighbor batch element).  The float
+path differs only by ulp-level reassociation from the scan path, so
+decisions (valid/bits/lag) must be identical on a real stream.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singlecarrier_tpu.config import DEFAULT_CONFIG as CFG
+from singlecarrier_tpu.modem import prod_rx_init, tx_stream
+from singlecarrier_tpu.modem.rx_production import (
+    prod_rx_batch,
+    prod_rx_stream,
+)
+
+
+def _frames(n_packets=3, seed=41):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, (n_packets, CFG.ns, CFG.data_symbols * 2),
+                        dtype=np.uint8)
+    pcm = np.asarray(tx_stream(CFG, jnp.asarray(bits), flush_gap=True))
+    n = -(-len(pcm) // CFG.frame_size) + 1
+    buf = np.zeros(n * CFG.frame_size, np.int16)
+    buf[:len(pcm)] = pcm
+    return bits, buf.reshape(n, CFG.frame_size)
+
+
+def test_batch_rx_matches_scan_xla():
+    bits, frames = _frames()
+    n = len(frames)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    st, out_b = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, interpret=True)
+
+    _, out_x = prod_rx_stream(CFG, prod_rx_init(CFG),
+                              jnp.asarray(frames), descramble=False)
+
+    vx = np.asarray(out_x.valid)
+    for c in range(C):
+        assert np.array_equal(np.asarray(out_b.valid[:, c]), vx)
+        assert np.array_equal(np.asarray(out_b.bits[:, c])[vx],
+                              np.asarray(out_x.bits)[vx])
+        assert np.array_equal(np.asarray(out_b.lag[:, c]),
+                              np.asarray(out_x.lag))
+    got = np.asarray(out_b.bits[:, 0])[np.asarray(out_b.valid[:, 0])]
+    assert np.array_equal(got, bits.reshape(-1, CFG.bits_per_frame))
+
+    # final state sanity: unit phase, finite leaves
+    assert np.allclose(np.abs(np.asarray(st.phase.real)**2
+                              + np.asarray(st.phase.imag)**2), 1.0,
+                       atol=1e-5)
+
+
+def test_batch_rx_state_carry_across_calls():
+    """Splitting the stream into two prod_rx_batch calls (state carried
+    between them) decodes identically to one call -- the closed-form
+    carries splice exactly."""
+    bits, frames = _frames(seed=43)
+    n = len(frames)
+    C = 2
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    _, out_full = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=2, decode_block_channels=2, interpret=True)
+
+    cut = n // 2
+    st, out_a = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch[:cut], descramble=False,
+        block_channels=2, decode_block_channels=2, interpret=True)
+    _, out_c = prod_rx_batch(
+        CFG, st, batch[cut:], descramble=False,
+        block_channels=2, decode_block_channels=2, interpret=True)
+
+    va = np.concatenate([np.asarray(out_a.valid), np.asarray(out_c.valid)])
+    ba = np.concatenate([np.asarray(out_a.bits), np.asarray(out_c.bits)])
+    vf = np.asarray(out_full.valid)
+    assert np.array_equal(va, vf)
+    assert np.array_equal(ba[vf], np.asarray(out_full.bits)[vf])
