@@ -357,37 +357,51 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
     }
 
 
-def _decode_extract_kernel(lag_ref, ph_ref, win_ref, peak_ref, wr_ref,
-                           wi_ref, pn_ref, mask_ref, out_ref, pkt_ref,
-                           sem, *, cb, pkt_len, P, D, L, off, nfft, rs,
-                           peak_gate, ls_reg, refit_iters, refine_iters):
+def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
+                           wi_ref, pn_ref, mask_ref, out_ref, *, cyc,
+                           wp, pkt_len, P, D, L, off, nfft, rs,
+                           peak_gate, ls_reg, refit_iters,
+                           refine_iters):
     """Decode with IN-KERNEL packet extraction.
 
-    ``win_ref`` is the whole hunt-window array [N, cyc, 2, Wp] left in
-    HBM (pl.ANY); each channel's aligned packet [2, pkt_len] is pulled
-    straight into VMEM with one DMA at its dynamic (phase, lag) offset
-    -- scalar-prefetched so the offsets are known up front.  This
-    replaces the XLA extraction stage (one-hot phase einsum + pad +
+    Replaces the XLA extraction stage (one-hot phase einsum + pad +
     per-channel gather + an extra HBM round trip of the packet array),
     which profiling showed to be the single most expensive stage of the
     pipeline (tools/profile_stages.py: 0.87 us of 2.23 us/block-chan).
+
+    Mosaic has no dynamic lane-dim indexing (a [.., lag:lag+W] slice
+    needs lag provably 128-divisible; 1D HBM DMAs need 1024-aligned
+    slice shapes), so alignment is done with VECTORIZED data
+    movement instead:
+
+      * decimation-phase select = masked sum over the cyc axis;
+      * lag alignment = a barrel shifter -- ceil(log2(n_lags)) static
+        circular rolls, each applied per channel only where that bit
+        of ``lag`` is set.  No wrap contamination reaches the packet:
+        pkt_len <= Wp - max_lag.
     """
-    i = pl.program_id(0)
+    lag = lag_ref[:, 0, :]                              # [cb, 1] i32
+    ph = ph_ref[:, 0, :]
 
-    def dma(c):
-        ch = i * cb + c
-        return pltpu.make_async_copy(
-            win_ref.at[ch, ph_ref[ch], :, pl.ds(lag_ref[ch], pkt_len)],
-            pkt_ref.at[c],
-            sem.at[c],
-        )
+    # phase select: sel = win[:, phase] via masked sum (VPU)
+    sel_r = jnp.zeros_like(win_ref[:, 0, 0, :])
+    sel_i = jnp.zeros_like(sel_r)
+    for k in range(cyc):
+        mk = (ph == k).astype(jnp.float32)
+        sel_r = sel_r + mk * win_ref[:, k, 0, :]
+        sel_i = sel_i + mk * win_ref[:, k, 1, :]
 
-    for c in range(cb):
-        dma(c).start()
-    for c in range(cb):
-        dma(c).wait()
+    # barrel shift left by `lag` (9 masked static rolls for 376 lags)
+    nbits = max(1, int(np.ceil(np.log2(max(wp - pkt_len, 2)))))
+    for j in range(nbits):
+        bit = ((lag >> j) & 1).astype(jnp.float32)
+        roll_r = pltpu.roll(sel_r, wp - (1 << j), axis=1)
+        roll_i = pltpu.roll(sel_i, wp - (1 << j), axis=1)
+        sel_r = bit * roll_r + (1.0 - bit) * sel_r
+        sel_i = bit * roll_i + (1.0 - bit) * sel_i
 
-    _decode_core(pkt_ref[:, 0, :], pkt_ref[:, 1, :], peak_ref[:, 0, :],
+    _decode_core(sel_r[:, :pkt_len], sel_i[:, :pkt_len],
+                 peak_ref[:, 0, :],
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
@@ -435,42 +449,40 @@ def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
     maskj = jnp.asarray(mask.reshape(1, 1, D))
 
     kern = functools.partial(
-        _decode_extract_kernel, cb=cb, pkt_len=pkt_len, P=P, D=D, L=L,
-        off=off, nfft=nfft, rs=cfg.rs, peak_gate=cfg.peak_gate,
-        ls_reg=cfg.ls_reg, refit_iters=cfg.ls_refit_iters,
+        _decode_extract_kernel, cyc=cfg.cycles, wp=Wp,
+        pkt_len=pkt_len, P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
+        peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
+        refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(N // cb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # windows (HBM)
-            pl.BlockSpec((cb, 1, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, nfft), lambda i, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, nfft), lambda i, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda i, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((cb, n_out), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((cb, 2, pkt_len), jnp.float32),
-            pltpu.SemaphoreType.DMA((cb,)),
-        ],
-    )
 
     out = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid=(N // cb,),
+        in_specs=[
+            pl.BlockSpec((cb, cfg.cycles, 2, Wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, n_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, n_out), jnp.float32),
         interpret=interpret,
-    )(lag.astype(jnp.int32), phase_idx.astype(jnp.int32),
-      windows, peak.reshape(N, 1, 1), wr, wi, pn, maskj)
+    )(windows, lag.astype(jnp.int32).reshape(N, 1, 1),
+      phase_idx.astype(jnp.int32).reshape(N, 1, 1),
+      peak.reshape(N, 1, 1), wr, wi, pn, maskj)
 
     return {
         "dibits": out[:, :D],
