@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--blocks", type=int, default=16)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--fe-block", type=int, default=128,
+                    help="front-end kernel channel block")
+    ap.add_argument("--decode-block", type=int, default=64,
+                    help="decode kernel channel block")
     ap.add_argument("--mode",
                     choices=["production", "production-scan", "faithful"],
                     default="production",
@@ -94,7 +98,9 @@ def main() -> None:
 
         @jax.jit
         def step(state, pcm):
-            st, out = prod_rx_batch(cfg, state, pcm)
+            st, out = prod_rx_batch(
+                cfg, state, pcm, block_channels=args.fe_block,
+                decode_block_channels=args.decode_block)
             return st, (out.valid.sum().astype(jnp.float32)
                         + out.eq_error.sum())
 

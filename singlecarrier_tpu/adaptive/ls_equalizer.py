@@ -74,15 +74,21 @@ def ls_train(symbols, lag, pn, L: int, reg: float = 1e-4):
     P = pn.shape[-1]
     C = window_matrix(symbols, lag, P, L)            # [P, L]
     pnc = pn.astype(jnp.complex64)
-    A = C.conj().mT @ C                               # [L, L] hermitian
+    # HIGHEST precision throughout: the TPU default single-pass
+    # bf16 dot corrupts the normal equations enough to flip decoded
+    # bits (tools/tpu_parity.py: 264 errors at default vs 0 at f32
+    # on a 12 dB stream).  These matmuls are tiny (<= [248, 5]).
+    hi = lax.Precision.HIGHEST
+    A = jnp.matmul(C.conj().mT, C, precision=hi)      # [L, L] hermitian
     # Scale-aware ridge: reg relative to the mean window power.
     scale = (jnp.trace(A, axis1=-2, axis2=-1).real / L)[..., None, None]
     A = A + (reg * scale + 1e-12) * jnp.eye(L, dtype=A.dtype)
-    b = C.conj().mT @ pnc                             # [L]
+    b = jnp.matmul(C.conj().mT, pnc[..., None],
+                   precision=hi)[..., 0]             # [L]
     # Unrolled Cholesky: far faster than jnp.linalg.solve's generic LU
     # for batched tiny systems on TPU (utils/linalg.py).
     coeff = chol_solve_hermitian(A, b)
-    val = C @ coeff
+    val = jnp.matmul(C, coeff[..., None], precision=hi)[..., 0]
     matches = jnp.sum((val.real * pn) > 0.0, axis=-1).astype(jnp.int32)
     return coeff, matches
 
@@ -96,7 +102,8 @@ def ls_decode(symbols, start, coeff, n_data: int):
     """
     L = coeff.shape[-1]
     C = window_matrix(symbols, start, n_data, L)
-    return C @ coeff
+    return jnp.matmul(C, coeff[..., None],
+                      precision=lax.Precision.HIGHEST)[..., 0]
 
 
 def slice_qpsk(raw):
@@ -128,17 +135,19 @@ def ls_refit(symbols, start, coeff, n_data: int, reg: float = 1e-3):
     """
     L = coeff.shape[-1]
     C = window_matrix(symbols, start, n_data, L)
-    raw = C @ coeff
+    hi = lax.Precision.HIGHEST
+    raw = jnp.matmul(C, coeff[..., None], precision=hi)[..., 0]
     _, hard_raw = slice_qpsk(raw)
     # Data amplitude is ~2x training; rescale targets to the data scale
     # so the refit is self-consistent.
     scale = jnp.mean(jnp.abs(raw), axis=-1, keepdims=True) / \
         (jnp.mean(jnp.abs(hard_raw), axis=-1, keepdims=True) + 1e-12)
     target = hard_raw * scale
-    A = C.conj().mT @ C
+    A = jnp.matmul(C.conj().mT, C, precision=hi)
     tr = (jnp.trace(A, axis1=-2, axis2=-1).real / L)[..., None, None]
     A = A + (reg * tr + 1e-12) * jnp.eye(L, dtype=A.dtype)
-    b = C.conj().mT @ target
+    b = jnp.matmul(C.conj().mT, target[..., None],
+                   precision=hi)[..., 0]
     return chol_solve_hermitian(A, b)
 
 

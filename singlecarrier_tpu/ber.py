@@ -63,9 +63,16 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
     detections mapping to one sent packet keep the position-closest
     one; undetected packets count as half-errored payload.
     """
+    from .utils.compat import fetch
+
     kb, kn = jax.random.split(key)
     bits = jax.random.randint(
         kb, (n_packets, cfg.ns, cfg.data_symbols * 2), 0, 2, jnp.uint8)
+    # Fetch the reference payload NOW: on the axon backend, fetching a
+    # buffer allocated before a heavy execution can fail (observed:
+    # UNIMPLEMENTED on bits after the demod jit ran; fresh buffers and
+    # outputs transfer fine).
+    ref = fetch(bits).reshape(n_packets, cfg.bits_per_frame)
     pcm = tx_stream(cfg, bits, flush_gap=True)
 
     n_blocks = -(-pcm.shape[-1] // cfg.frame_size) + 1
@@ -74,21 +81,23 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
 
     keys = jax.random.split(kn, n_trials)
 
-    def one_trial(k):
-        x = channel(k, padded, snr_db=snr_db, freq_hz=freq_hz,
+    def one_trial(k, clean):
+        x = channel(k, clean, snr_db=snr_db, freq_hz=freq_hz,
                     phase_rad=phase_rad, delay=delay, ppm=ppm, fs=cfg.fs)
         frames = x.reshape(n_blocks, cfg.frame_size)
         _, out = prod_rx_stream(cfg, prod_rx_init(cfg), frames,
                                 descramble=False)
         return out
 
-    out = jax.jit(jax.vmap(one_trial))(keys)
+    # `padded` rides as an operand, not a closure constant: embedding a
+    # device array as an MLIR constant forces a device->host fetch,
+    # which the axon backend cannot do for every layout.
+    out = jax.jit(jax.vmap(one_trial, in_axes=(0, None)))(keys, padded)
 
-    ref = np.asarray(bits).reshape(n_packets, cfg.bits_per_frame)
-    valid = np.asarray(out.valid)
-    got = np.asarray(out.bits)
-    lag = np.asarray(out.lag)
-    phs = np.asarray(out.timing_phase)
+    valid = fetch(out.valid)
+    got = fetch(out.bits)
+    lag = fetch(out.lag)
+    phs = fetch(out.timing_phase)
 
     total_bits = 0
     err_bits = 0

@@ -94,7 +94,12 @@ def _fir_banded(taps, x_ext, n_out, tile=_LANE):
     # band-matrix build.
     w = jnp.asarray(banded_fir_matrix(tuple(np.asarray(taps, np.float32)),
                                       ntaps, tile))
-    y = jnp.einsum("...jw,wt->...jt", windows, w)     # complex @ real
+    # HIGHEST: the TPU default single-pass bf16 dot costs ~1% relative
+    # error on the matched filter; downstream LS fits are sensitive
+    # (tools/tpu_parity.py: default precision = 264 bit errors on a
+    # 12 dB stream where full f32 = 0).
+    y = jnp.einsum("...jw,wt->...jt", windows, w,
+                   precision=lax.Precision.HIGHEST)   # complex @ real
     y = y.reshape(*y.shape[:-2], ntiles * tile)
     return y[..., :n_out]
 

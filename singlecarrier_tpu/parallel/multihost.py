@@ -80,11 +80,19 @@ def main() -> int:
     ap.add_argument("--channels", type=int, default=None,
                     help="global channel count (default: 1 per device)")
     ap.add_argument("--packets", type=int, default=3)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) -- the "
+                         "JAX_PLATFORMS env var is ignored under the "
+                         "axon TPU plugin, jax.config is the reliable "
+                         "switch (tests/conftest.py)")
     args = ap.parse_args()
 
-    initialize(args.coordinator, args.num_processes, args.process_id)
-
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
     import jax.numpy as jnp
 
     from ..config import DEFAULT_CONFIG as cfg

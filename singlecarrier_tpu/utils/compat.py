@@ -77,12 +77,22 @@ def _split(x):
 
 
 def fetch(x) -> np.ndarray:
-    """Device -> host, safe for complex leaves."""
+    """Device -> host, safe for complex and narrow-int leaves.
+
+    The axon backend implements device->host transfers only for the
+    common wide dtypes; complex64 splits into planes, and
+    uint8/int8/bool ride as int32 and are narrowed back on host.
+    """
     x = jnp.asarray(x)
-    if not jnp.iscomplexobj(x):
-        return np.asarray(x)
-    re, im = _split(x)
-    return np.asarray(re) + 1j * np.asarray(im)
+    if jnp.iscomplexobj(x):
+        re, im = _split(x)
+        return np.asarray(re) + 1j * np.asarray(im)
+    if x.dtype in (jnp.uint8, jnp.int8, jnp.bool_):
+        # flatten: narrow-dtype transfers fail for some >=2D layouts
+        # (e.g. u8 [6,8,62]); 1D int32 always moves
+        flat = x.astype(jnp.int32).reshape(-1)
+        return np.asarray(flat).astype(x.dtype).reshape(x.shape)
+    return np.asarray(x)
 
 
 def tree_fetch(tree):

@@ -39,7 +39,7 @@ def test_two_process_multihost_decode(tmp_path):
                "singlecarrier_tpu.parallel.multihost",
                f"--coordinator=127.0.0.1:{port}",
                "--num-processes=2", f"--process-id={pid}",
-               "--packets=2", "--channels=4"]
+               "--packets=2", "--channels=4", "--platform=cpu"]
         procs.append(subprocess.Popen(
             cmd, env=env_base, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))

@@ -1,0 +1,244 @@
+#!/usr/bin/env python
+"""On-hardware Pallas <-> XLA parity check (VERDICT round-1 item 2).
+
+Runs the SAME synthesized multi-packet, multi-channel, impaired stream
+through
+
+  * the XLA production RX (prod_rx_stream, scan, complex-typed), and
+  * the Mosaic-compiled Pallas paths (prod_rx_batch fused front-end +
+    fused extract/decode; optionally prod_rx_stream_pallas),
+
+on the REAL chip (no interpret mode), and asserts decision-level
+equality: identical valid flags, identical payload bits on valid
+blocks, CFO estimates within 0.5 Hz, eq_error within 2e-3.  Round 1
+verified the kernels only in interpret mode on CPU; this pins the
+Mosaic-compiled numerics (bf16 matmuls, small-angle atan2 substitute,
+barrel-shift extraction) where they actually run.
+
+Writes PARITY_TPU.json and exits nonzero on any mismatch.
+
+Run from the repo root WITHOUT PYTHONPATH set (axon plugin discovery
+breaks otherwise -- .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--packets", type=int, default=6)
+    ap.add_argument("--snr-db", type=float, default=12.0)
+    ap.add_argument("--freq-hz", type=float, default=15.0)
+    ap.add_argument("--out", default="PARITY_TPU.json")
+    ap.add_argument("--scan-pallas", action="store_true",
+                    help="also check prod_rx_stream_pallas (extra "
+                         "compile time)")
+    ap.add_argument("--pallas-fe-xla-decode", action="store_true",
+                    help="also run Pallas front-end + XLA decode "
+                         "backend (numerics isolation)")
+    ap.add_argument("--frontend-dtype", default=None,
+                    choices=[None, "bf16", "f32"],
+                    help="override cfg.frontend_dtype for the Pallas "
+                         "paths (isolates bf16-front-end effects)")
+    ap.add_argument("--xla-precision", default=None,
+                    choices=[None, "default", "highest", "float32"],
+                    help="matmul precision for the XLA oracle path "
+                         "(TPU default is reduced MXU precision for "
+                         "f32 dots; 'highest' pins f32)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from singlecarrier_tpu.utils.compat import enable_compilation_cache
+    enable_compilation_cache()
+
+    from singlecarrier_tpu.channel import channel
+    from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
+    if args.frontend_dtype:
+        cfg = cfg.replace(frontend_dtype=args.frontend_dtype)
+    from singlecarrier_tpu.modem import prod_rx_init, tx_stream
+    from singlecarrier_tpu.modem.rx_production import (
+        prod_rx_batch, prod_rx_stream, prod_rx_stream_pallas)
+
+    C = args.channels
+    rng = np.random.default_rng(123)
+    bits = rng.integers(
+        0, 2, (C, args.packets, cfg.ns, cfg.data_symbols * 2),
+        dtype=np.uint8)
+
+    @jax.jit
+    def make_stream(bits_dev, key):
+        # TX scrambled + RX descrambled: decoded bits compare directly
+        # against the sent payload (ground truth).
+        pcm = tx_stream(cfg, bits_dev, flush_gap=True,
+                        scramble=True)                      # [C, S]
+        n_blocks = -(-pcm.shape[-1] // cfg.frame_size) + 1
+        pad = n_blocks * cfg.frame_size - pcm.shape[-1]
+        x = jnp.pad(pcm.astype(jnp.float32), ((0, 0), (0, pad)))
+        keys = jax.random.split(key, C)
+        x = jax.vmap(lambda k, s: channel(
+            k, s, snr_db=args.snr_db, freq_hz=args.freq_hz,
+            fs=cfg.fs))(keys, x)
+        return x.astype(jnp.int16).reshape(C, n_blocks, cfg.frame_size)
+
+    pcm = make_stream(jnp.asarray(bits), jax.random.PRNGKey(0))
+    n_blocks = pcm.shape[1]
+
+    # ---- XLA oracle (vmap over channels, scan over blocks) ----
+    @jax.jit
+    def run_xla(pcm):
+        return jax.vmap(
+            lambda p: prod_rx_stream(cfg, prod_rx_init(cfg), p,
+                                     descramble=True)
+        )(pcm)[1]
+
+    # ---- Pallas block-parallel path ----
+    @jax.jit
+    def run_batch(pcm):
+        fr = jnp.swapaxes(pcm, 0, 1)                    # [B, C, n]
+        _, out = prod_rx_batch(cfg, prod_rx_init(cfg, (C,)), fr,
+                               descramble=True,
+                               block_channels=min(128, C),
+                               decode_block_channels=min(64, C))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), out)
+
+    if args.xla_precision in (None, "default"):
+        out_x = jax.tree.map(np.asarray, run_xla(pcm))
+    else:
+        with jax.default_matmul_precision(args.xla_precision):
+            out_x = jax.tree.map(np.asarray, run_xla(pcm))
+    out_b = jax.tree.map(np.asarray, run_batch(pcm))
+
+    paths = {"batch_pallas": out_b}
+    if args.scan_pallas:
+        @jax.jit
+        def run_scan_pallas(pcm):
+            fr = jnp.swapaxes(pcm, 0, 1)
+            _, out = prod_rx_stream_pallas(
+                cfg, prod_rx_init(cfg, (C,)), fr, descramble=True,
+                block_channels=min(128, C),
+                decode_block_channels=min(64, C))
+            return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), out)
+        paths["scan_pallas"] = jax.tree.map(np.asarray,
+                                            run_scan_pallas(pcm))
+    if args.pallas_fe_xla_decode:
+        # Isolation path: Pallas front-end kernel + the XLA hunt /
+        # extraction / LS / refine backend (fuse_decode=False) --
+        # separates front-end-kernel numerics from decode-kernel
+        # numerics.
+        @jax.jit
+        def run_fe_only(pcm):
+            fr = jnp.swapaxes(pcm, 0, 1)
+            _, out = prod_rx_stream_pallas(
+                cfg, prod_rx_init(cfg, (C,)), fr, descramble=True,
+                block_channels=min(128, C), fuse_decode=False)
+            return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), out)
+        paths["pallas_fe_xla_decode"] = jax.tree.map(
+            np.asarray, run_fe_only(pcm))
+
+    report = {
+        "device": str(jax.devices()[0]),
+        "channels": C, "packets": args.packets, "blocks": n_blocks,
+        "snr_db": args.snr_db, "freq_hz": args.freq_hz,
+        "xla_packets_detected": int(out_x.valid.sum()),
+        "expected_packets": C * args.packets,
+        "paths": {},
+    }
+    # ground-truth bit errors per path: match detections to sent
+    # packets by stream position (like ber.py)
+    ref = bits.reshape(C, args.packets, cfg.bits_per_frame)
+
+    def truth_errors(out):
+        """(bit errors, bits counted, false detects, per-block errors)
+        with position-matched dedup (ber.py semantics)."""
+        err = 0
+        total = 0
+        spurious = 0
+        per_block = []
+        for c in range(C):
+            vidx = np.nonzero(out.valid[c])[0]
+            assigned = {}
+            for fr in vidx:
+                pos = ((int(fr) - 1) * cfg.frame_size
+                       + int(out.lag[c, fr]) * cfg.cycles
+                       + int(out.timing_phase[c, fr]))
+                p = int(round(pos / cfg.packet_size))
+                perr = abs(pos - p * cfg.packet_size)
+                if (not 0 <= p < args.packets
+                        or perr > cfg.packet_size // 4):
+                    spurious += 1
+                    continue
+                if p not in assigned or perr < assigned[p][0]:
+                    if p in assigned:
+                        spurious += 1
+                    assigned[p] = (perr, int(fr))
+            for p, (_, fr) in assigned.items():
+                e = int((out.bits[c, fr] != ref[c, p]).sum())
+                err += e
+                total += cfg.bits_per_frame
+                if e:
+                    per_block.append((c, int(fr), e))
+        return err, total, spurious, per_block
+
+    err_x, tot_x, spur_x, blocks_x = truth_errors(out_x)
+    report["xla_bit_errors_vs_truth"] = [err_x, tot_x]
+    report["xla_false_detects"] = spur_x
+    report["xla_errored_blocks"] = blocks_x[:16]
+
+    ok_all = True
+    for name, out_p in paths.items():
+        v_eq = bool(np.array_equal(out_p.valid, out_x.valid))
+        vmask = out_x.valid & out_p.valid
+        bits_eq = bool(np.array_equal(out_p.bits[vmask],
+                                      out_x.bits[vmask]))
+        nbit_d = int((out_p.bits[vmask]
+                      != out_x.bits[vmask]).sum())
+        nblk_d = int((out_p.bits[vmask]
+                      != out_x.bits[vmask]).any(-1).sum())
+        cfo_d = float(np.max(np.abs(out_p.cfo_hz[vmask]
+                                    - out_x.cfo_hz[vmask]))) \
+            if vmask.any() else 0.0
+        eq_d = float(np.max(np.abs(out_p.eq_error[vmask]
+                                   - out_x.eq_error[vmask]))) \
+            if vmask.any() else 0.0
+        lag_eq = bool(np.array_equal(out_p.lag[vmask],
+                                     out_x.lag[vmask]))
+        err_p, tot_p, spur_p, blocks_p = truth_errors(out_p)
+        # Decision criterion: identical detections + the Pallas path
+        # must decode the TRUE payload at least as well as XLA (bf16
+        # front-end vs f32 may legitimately flip bits that are wrong
+        # in both or marginal; what matters is decoded quality).
+        ok = (v_eq and lag_eq and cfo_d < 0.5
+              and err_p <= err_x + max(8, tot_p // 10000))
+        ok_all = ok_all and ok
+        report["paths"][name] = {
+            "valid_identical": v_eq,
+            "bits_identical_on_valid": bits_eq,
+            "bit_diffs_vs_xla": nbit_d,
+            "blocks_differing_vs_xla": nblk_d,
+            "bit_errors_vs_truth": [err_p, tot_p],
+            "false_detects": spur_p,
+            "errored_blocks": blocks_p[:16],
+            "lag_identical_on_valid": lag_eq,
+            "max_cfo_delta_hz": round(cfo_d, 6),
+            "max_eq_error_delta": round(eq_d, 8),
+            "packets_detected": int(out_p.valid.sum()),
+            "ok": ok,
+        }
+
+    report["ok"] = ok_all
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
