@@ -101,10 +101,16 @@ def _fit(pr, pi, target_r, target_i, L, reg, count):
     A_r, A_i = {}, {}
     for i in range(L):
         for j in range(i + 1):
+            # A[i][j] = sum_t conj(w[t+i]) w[t+j]  (lower triangle):
+            # Im = r_i*i_j - i_i*r_j.  (A sign flip here builds conj(A)
+            # and silently solves the wrong normal equations -- nearly
+            # invisible on preamble-dominated windows where A is real,
+            # but it flipped ~1e-3 of payload bits at 12 dB on
+            # hardware; tools/tpu_parity.py caught it.)
             A_r[(i, j)] = _reduce_last(sl_r[i] * sl_r[j]
                                        + sl_i[i] * sl_i[j])
-            A_i[(i, j)] = _reduce_last(sl_i[i] * sl_r[j]
-                                       - sl_r[i] * sl_i[j])
+            A_i[(i, j)] = _reduce_last(sl_r[i] * sl_i[j]
+                                       - sl_i[i] * sl_r[j])
     tr_mean = A_r[(0, 0)]
     for i in range(1, L):
         tr_mean = tr_mean + A_r[(i, i)]

@@ -45,6 +45,11 @@ def main() -> int:
                     choices=[None, "bf16", "f32"],
                     help="override cfg.frontend_dtype for the Pallas "
                          "paths (isolates bf16-front-end effects)")
+    ap.add_argument("--refit-iters", type=int, default=None,
+                    help="override cfg.ls_refit_iters (both paths; "
+                         "decode-kernel numerics bisection)")
+    ap.add_argument("--refine-iters", type=int, default=None,
+                    help="override cfg.phase_refine_iters (both paths)")
     ap.add_argument("--xla-precision", default=None,
                     choices=[None, "default", "highest", "float32"],
                     help="matmul precision for the XLA oracle path "
@@ -63,6 +68,10 @@ def main() -> int:
     from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
     if args.frontend_dtype:
         cfg = cfg.replace(frontend_dtype=args.frontend_dtype)
+    if args.refit_iters is not None:
+        cfg = cfg.replace(ls_refit_iters=args.refit_iters)
+    if args.refine_iters is not None:
+        cfg = cfg.replace(phase_refine_iters=args.refine_iters)
     from singlecarrier_tpu.modem import prod_rx_init, tx_stream
     from singlecarrier_tpu.modem.rx_production import (
         prod_rx_batch, prod_rx_stream, prod_rx_stream_pallas)
