@@ -56,13 +56,13 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     def timeit(fn, *xs):
+        # fn must return a SCALAR: float() is the only hard sync on the
+        # tunneled backend (block_until_ready returns early there).
         for _ in range(args.warmup):
-            r = fn(*xs)
-            jax.block_until_ready(r)
+            float(fn(*xs))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            r = fn(*xs)
-            jax.block_until_ready(r)
+            float(fn(*xs))
         return (time.perf_counter() - t0) / args.iters
 
     rows = []
@@ -77,7 +77,7 @@ def main() -> None:
     def fe(pcm, ph_r, ph_i, t1, t2):
         d, _, _, _, _ = fused_frontend_decim(
             cfg, pcm, ph_r, ph_i, t1, t2, block_channels=128)
-        return d
+        return d[:, 0, 0, :2].sum()
 
     dt = timeit(fe, pcm, ph_r, ph_i, tails, tails)
     chunk = 128
@@ -100,7 +100,8 @@ def main() -> None:
 
     @jax.jit
     def hunt(w):
-        return _hunt_planes(cfg, w)
+        lag, phase_idx, peak = _hunt_planes(cfg, w)
+        return peak.sum() + lag.sum()
 
     dt = timeit(hunt, windows)
     win = n_sym + cfg.preamble_length - 1
@@ -128,7 +129,7 @@ def main() -> None:
     def dec(w, lag, phs, peak):
         d = fused_decode_extract(cfg, w, lag, phs, peak,
                                  block_channels=min(64, N))
-        return d["eq_error"]
+        return d["eq_error"].sum()
 
     dt = timeit(dec, wfull, lag, phs, peak)
     P, D, nfft = cfg.preamble_length, cfg.frame_symbols, cfg.cfo_nfft
