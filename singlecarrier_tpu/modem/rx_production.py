@@ -509,7 +509,7 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
 def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
                   descramble: bool = True, block_channels: int = 128,
                   decode_block_channels: int = 64,
-                  fuse_extract: bool = True,
+                  fuse_extract: bool = True, fuse_hunt: bool = True,
                   interpret: bool = False):
     """Block-PARALLEL batched demod: no scan, no sequential carries.
 
@@ -572,6 +572,61 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
 
     # ---- one batched front-end over all B*C (block, channel) pairs ----
     N = B * C
+
+    if fuse_extract and fuse_hunt:
+        # Fully fused post-frontend path: ONE kernel does hunt +
+        # extract + decode (ops/decode_pallas.fused_hunt_decode) on
+        # TRANSPOSED windows [cyc, 2, N, Wp] -- the channel-major
+        # layout's (2, Wp) VMEM tiles sublane-pad 4x, and the XLA hunt
+        # round-trips its [N, cyc*2, lags*segs] corr intermediate
+        # through HBM (the dominant hunt cost).
+        from ..ops.decode_pallas import fused_hunt_decode
+        dcur_t, _, _, _, _ = fused_frontend_decim(
+            cfg, pcm_frames.reshape(N, n),
+            ph_r.reshape(N), ph_i.reshape(N),
+            tails_r.reshape(N, halo), tails_i.reshape(N, halo),
+            block_channels=min(block_channels, N), transposed=True,
+            interpret=interpret)
+        decim_t = dcur_t.reshape(cfg.cycles, 2, B, C, n_sym)
+
+        dprev0_t = jnp.stack(
+            [state.decim_prev.real, state.decim_prev.imag],
+            axis=0)                                     # [2, C, cyc, .]
+        dprev0_t = jnp.transpose(dprev0_t, (2, 0, 1, 3))[:, :, None]
+        dprev_t = jnp.concatenate([dprev0_t, decim_t[:, :, :-1]], axis=2)
+
+        off = cfg.eq_length // 2
+        need = (n_sym - 1) + cfg.pkt_window
+        wp = -(-max(need, off + 2 * n_sym) // 128) * 128
+        zl = jnp.zeros((cfg.cycles, 2, B, C, off), jnp.float32)
+        zr_ = jnp.zeros((cfg.cycles, 2, B, C, wp - off - 2 * n_sym),
+                        jnp.float32)
+        windows = jnp.concatenate(
+            [zl, dprev_t, decim_t, zr_], -1).reshape(
+                cfg.cycles, 2, N, wp)
+        dec = fused_hunt_decode(
+            cfg, windows, descramble=descramble,
+            block_channels=min(decode_block_channels, N),
+            interpret=interpret)
+        lag, phase_idx = dec["lag"], dec["phase_idx"]
+        peak = dec["peak"]
+        out = _decode_out(cfg, dec, lag, phase_idx, peak)
+        out = jax.tree.map(lambda x: x.reshape(B, C, *x.shape[1:]), out)
+
+        # ---- final state (closed form) ----
+        fr = (p0r * np.float32(advs.real[B])
+              - p0i * np.float32(advs.imag[B]))
+        fi = (p0r * np.float32(advs.imag[B])
+              + p0i * np.float32(advs.real[B]))
+        mag = jnp.sqrt(fr * fr + fi * fi)
+        dlast = decim_t[:, :, -1]                       # [cyc, 2, C, .]
+        return ProdRxState(
+            phase=lax.complex(fr / mag, fi / mag),
+            fir_tail=lax.complex(tl_r[-1], tl_i[-1]),
+            decim_prev=lax.complex(
+                jnp.transpose(dlast[:, 0], (1, 0, 2)),
+                jnp.transpose(dlast[:, 1], (1, 0, 2)))), out
+
     dcur, _, _, _, _ = fused_frontend_decim(
         cfg, pcm_frames.reshape(N, n),
         ph_r.reshape(N), ph_i.reshape(N),

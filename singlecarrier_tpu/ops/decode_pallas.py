@@ -38,6 +38,35 @@ from ..constants import PREAMBLE_VALUES, scramble_dibit_mask
 from ..dsp.fftops import _dft_matrix
 
 
+@functools.lru_cache(maxsize=8)
+def _segment_band_matrix_smaj(n_lags: int, n_lags_pad: int, n_seg: int,
+                              p: int, off: int):
+    """Segment-MAJOR banded correlation matrix for the in-kernel hunt.
+
+    B[off + l + s*seg + k, s*n_lags_pad + l] = v[s*seg + k] -- same
+    band as rx_production._segment_band_matrix but with
+
+      * columns grouped by segment (s-major) so the per-segment power
+        sum is a static 128-aligned lane slice inside the kernel,
+      * the lag axis padded to ``n_lags_pad`` (a multiple of 128; the
+        pad columns are zero, so their correlation power is 0 and can
+        never win the argmax over real lags),
+      * ``off`` leading zero rows so the matrix contracts directly
+        against the left-padded hunt windows (packet alignment pad,
+        modem/rx_production.py prod_rx_batch).
+    """
+    v = PREAMBLE_VALUES.astype(np.float32)
+    seg = p // n_seg
+    klen = off + n_lags + p - 1
+    b = np.zeros((klen, n_seg * n_lags_pad), np.float32)
+    for s in range(n_seg):
+        chips = v[s * seg:(s + 1) * seg]
+        for l in range(n_lags):
+            r0 = off + l + s * seg
+            b[r0:r0 + seg, s * n_lags_pad + l] = chips
+    return b
+
+
 def _reduce_last(x):
     return jnp.sum(x, axis=-1, keepdims=True)          # [cb, 1]
 
@@ -360,6 +389,196 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
         "cfo_hz": out[:, D + 2],
         "gated": out[:, D + 3] > 0.5,
         "energy": out[:, D + 4],
+    }
+
+
+def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
+                        mask_ref, out_ref, *, cyc, wp, pkt_len, n_lags,
+                        n_lags_pad, segs_per_chunk, n_chunks, klen, P,
+                        D, L, off, nfft, rs, peak_gate, ls_reg,
+                        refit_iters, refine_iters, hunt_bf16):
+    """Hunt + extract + decode, fully fused.
+
+    Replaces the XLA hunt stage (rx_production._hunt_planes), whose
+    cost was dominated not by its matmul FLOPs (~30 MFLOP/block-chan,
+    0.15 us at bf16 peak) but by the [C, cyc*2, n_lags*n_seg] ``corr``
+    intermediate round-tripping HBM (~120 KB/block-chan = ~0.3 us at
+    HBM bandwidth) plus the skinny per-channel M=10 matmul shape.
+    Here the correlation runs with M = cyc*2*cb rows (MXU-shaped) and
+    corr/power/argmax never leave VMEM.
+
+    ``win_ref``: [cyc, 2, cb, Wp] hunt-window planes -- the TRANSPOSED
+    layout (channel on the sublane axis) so every per-(phase, plane)
+    slice is a dense 2D tile; the [cb, cyc, 2, Wp] layout of
+    ``_decode_extract_kernel`` sublane-pads its (2, Wp) tiles 4x.
+
+    The segment-major band matrix is consumed in ``n_chunks`` column
+    chunks to bound the live ``corr`` tile; power accumulates into
+    per-phase [cb, n_lags_pad] planes.  Plane (real/imag) power
+    combines by static cb-aligned SUBLANE slices of the chunk -- rows
+    of the matmul are ordered (phase-major, plane, channel).
+    """
+    cb = win_ref.shape[2]
+    f32 = jnp.float32
+    dt = jnp.bfloat16 if hunt_bf16 else f32
+
+    # ---- hunt: one [cyc*2*cb, klen] matmul per column chunk ----
+    xs = []
+    for c in range(cyc):
+        for pl_ in range(2):
+            xs.append(win_ref[c, pl_][:, :klen].astype(dt))
+    x = jnp.concatenate(xs, axis=0)
+
+    csz = segs_per_chunk * n_lags_pad
+    pw = [jnp.zeros((cb, n_lags_pad), f32) for _ in range(cyc)]
+    for ch in range(n_chunks):
+        corr = jnp.dot(x, mat_ref[ch], preferred_element_type=f32)
+        p2 = corr * corr                         # [cyc*2*cb, csz]
+        for c in range(cyc):
+            blk = (p2[(2 * c) * cb:(2 * c + 1) * cb]
+                   + p2[(2 * c + 1) * cb:(2 * c + 2) * cb])
+            acc = pw[c]
+            for s in range(segs_per_chunk):
+                acc = acc + blk[:, s * n_lags_pad:(s + 1) * n_lags_pad]
+            pw[c] = acc
+
+    # argmax over (phase, lag): per-phase lane argmax + running best
+    # with strict > across ascending phases == XLA's first-max flat
+    # argmax over the phase-major [cyc, n_lags] power array.
+    best_pk = jnp.full((cb, 1), -1.0, f32)
+    best_lag = jnp.zeros((cb, 1), jnp.int32)
+    best_ph = jnp.zeros((cb, 1), jnp.int32)
+    for c in range(cyc):
+        pk = jnp.max(pw[c], axis=-1, keepdims=True)
+        idx = jnp.argmax(pw[c], axis=-1, keepdims=True).astype(jnp.int32)
+        upd = pk > best_pk
+        best_pk = jnp.where(upd, pk, best_pk)
+        best_lag = jnp.where(upd, idx, best_lag)
+        best_ph = jnp.where(upd, jnp.int32(c), best_ph)
+    peak = 2.0 * best_pk                         # _hunt_planes scaling
+
+    # ---- extract: phase select + barrel shift (see
+    # _decode_extract_kernel for the Mosaic constraints) ----
+    sel_r = jnp.zeros((cb, wp), f32)
+    sel_i = jnp.zeros((cb, wp), f32)
+    for k in range(cyc):
+        mk = (best_ph == k).astype(f32)
+        sel_r = sel_r + mk * win_ref[k, 0]
+        sel_i = sel_i + mk * win_ref[k, 1]
+
+    nbits = max(1, int(np.ceil(np.log2(max(wp - pkt_len, 2)))))
+    for j in range(nbits):
+        bit = ((best_lag >> j) & 1).astype(f32)
+        roll_r = pltpu.roll(sel_r, wp - (1 << j), axis=1)
+        roll_i = pltpu.roll(sel_i, wp - (1 << j), axis=1)
+        sel_r = bit * roll_r + (1.0 - bit) * sel_r
+        sel_i = bit * roll_i + (1.0 - bit) * sel_i
+
+    _decode_core(sel_r[:, :pkt_len], sel_i[:, :pkt_len], peak,
+                 wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
+                 mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
+                 nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
+                 refit_iters=refit_iters, refine_iters=refine_iters)
+    # hunt results ride the same fat output (slots D+5..D+7; the core
+    # zeroed them above).
+    out_ref[:, D + 5:D + 6] = best_lag.astype(f32)
+    out_ref[:, D + 6:D + 7] = best_ph.astype(f32)
+    out_ref[:, D + 7:D + 8] = peak
+
+
+def fused_hunt_decode(cfg: ModemConfig, windows, *,
+                      descramble: bool = True, block_channels: int = 64,
+                      segs_per_chunk: int = 2, interpret: bool = False):
+    """Fused hunt+extract+decode from transposed hunt windows.
+
+    Args:
+      windows: [cycles, 2, N, Wp] f32 hunt-window planes (TRANSPOSED
+               layout: channel on axis 2), time axis left-padded by
+               eq_length//2 zeros and right-padded so that
+               max_lag + pkt_window <= Wp (same padding contract as
+               ``fused_decode_extract``).
+
+    Returns the ``fused_decode`` stat dict plus "lag" (i32), and
+    "phase_idx" (i32), and "peak" (f32) from the in-kernel hunt.
+    """
+    P = cfg.preamble_length
+    D = cfg.frame_symbols
+    L = cfg.eq_length
+    off = L // 2
+    nfft = cfg.cfo_nfft
+    pkt_len = cfg.pkt_window
+    n_lags = cfg.symbols_per_block
+    n_seg = cfg.corr_segments
+    n_lags_pad = -(-n_lags // 128) * 128
+    cyc, N, Wp = windows.shape[0], windows.shape[2], windows.shape[3]
+    klen = off + n_lags + P - 1
+    assert Wp >= (n_lags - 1) + pkt_len, (Wp, pkt_len)
+    assert Wp >= klen, (Wp, klen)
+    cb = min(block_channels, N)
+    assert N % cb == 0
+    assert n_seg % segs_per_chunk == 0
+    n_chunks = n_seg // segs_per_chunk
+    csz = segs_per_chunk * n_lags_pad
+    n_out = -(-(D + 8) // 128) * 128
+
+    mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg, P, off)
+    hunt_bf16 = cfg.hunt_dtype == "bf16"
+    mdt = jnp.bfloat16 if hunt_bf16 else jnp.float32
+    mat = jnp.asarray(mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
+                      dtype=mdt)
+
+    wm = _dft_matrix(P, nfft)
+    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
+    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
+    pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
+    if descramble:
+        mask = scramble_dibit_mask()[:D].astype(np.float32)
+    else:
+        mask = np.zeros(D, np.float32)
+    maskj = jnp.asarray(mask.reshape(1, 1, D))
+
+    kern = functools.partial(
+        _hunt_decode_kernel, cyc=cyc, wp=Wp, pkt_len=pkt_len,
+        n_lags=n_lags, n_lags_pad=n_lags_pad,
+        segs_per_chunk=segs_per_chunk, n_chunks=n_chunks, klen=klen,
+        P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
+        peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
+        refit_iters=cfg.ls_refit_iters,
+        refine_iters=cfg.phase_refine_iters, hunt_bf16=hunt_bf16)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(N // cb,),
+        in_specs=[
+            pl.BlockSpec((cyc, 2, cb, Wp), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunks, klen, csz), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, n_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, n_out), jnp.float32),
+        interpret=interpret,
+    )(windows, mat, wr, wi, pn, maskj)
+
+    return {
+        "dibits": out[:, :D],
+        "matches": out[:, D].astype(jnp.int32),
+        "eq_error": out[:, D + 1],
+        "cfo_hz": out[:, D + 2],
+        "gated": out[:, D + 3] > 0.5,
+        "energy": out[:, D + 4],
+        "lag": out[:, D + 5].astype(jnp.int32),
+        "phase_idx": out[:, D + 6].astype(jnp.int32),
+        "peak": out[:, D + 7],
     }
 
 

@@ -148,7 +148,8 @@ def fused_frontend(cfg: ModemConfig, pcm, phase_r, phase_i,
 
 def _kernel_decim(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref, out_ref,
                   zr_ref, zi_ref, *, n: int, ntaps: int, cyc: int,
-                  n_sym: int, chunk: int, inv_scale: float):
+                  n_sym: int, chunk: int, inv_scale: float,
+                  transposed: bool = False):
     """Decimating-matmul front-end: downmix on the VPU, then the RRC
     matched filter + decimation as MXU matmuls.
 
@@ -189,7 +190,87 @@ def _kernel_decim(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref, out_ref,
                 y = jnp.dot(z_ref[:, start:start + klen], td,
                             preferred_element_type=jnp.float32)
                 w = min(chunk, n_sym - b * chunk)
-                out_ref[:, c, p, b * chunk:b * chunk + w] = y[:, :w]
+                if transposed:
+                    out_ref[c, p, :, b * chunk:b * chunk + w] = y[:, :w]
+                else:
+                    out_ref[:, c, p, b * chunk:b * chunk + w] = y[:, :w]
+
+
+def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
+                          out_ref, zr_ref, zi_ref, *, n: int, ntaps: int,
+                          cyc: int, n_sym: int, chunk: int, zpad: int,
+                          klen_pad: int, inv_scale: float,
+                          transposed: bool):
+    """Lane-ALIGNED decimating-matmul front-end.
+
+    ``_kernel_decim``'s dot operands were lane slices at offsets
+    ``b*cyc*chunk + c`` -- the per-phase ``+c`` is never 128-aligned,
+    so Mosaic inserts a relayout roll before every one of the
+    nchunk*cyc*2 dots; together with the halo-offset block store
+    (z[halo:halo+n], offset 48) those rolls dominated the kernel
+    (roofline verdict: VPU/latency-bound at 6.6% MXU).
+
+    Fixes, all static-layout:
+
+      * the [tail | block] stream is stored at buffer offset
+        ``zpad - halo`` with zpad = 128: the fat block store lands at
+        lane 128 (aligned); the 48-wide tail store sits inside one
+        lane tile.
+      * the decimation-phase offset moves INTO the tap matrix: column
+        c*chunk + j of T holds taps at rows
+        (zpad - halo) + j*cyc + c + k, so one dot per (plane, chunk)
+        emits ALL ``cyc`` phases: [cb, klen_pad] @ [klen_pad,
+        cyc*chunk].  Slice starts are b*cyc*chunk (cyc*chunk is a
+        multiple of 128) and klen_pad is 128-rounded.
+    """
+    nchunk = -(-n_sym // chunk)
+    zdt = zr_ref.dtype
+    lead = zpad - (ntaps - 1)
+
+    x = pcm_ref[...].astype(jnp.float32) * inv_scale       # [CB, n]
+    pr = ph_ref[:, 0:1, 0]
+    pi = ph_ref[:, 1:2, 0]
+    tr = tab_ref[0, 0:1, :]
+    ti = tab_ref[0, 1:2, :]
+    zr_ref[:, :lead] = jnp.zeros_like(zr_ref[:, :lead])
+    zi_ref[:, :lead] = jnp.zeros_like(zi_ref[:, :lead])
+    zr_ref[:, lead:zpad] = tail_ref[:, 0, :].astype(zdt)
+    zi_ref[:, lead:zpad] = tail_ref[:, 1, :].astype(zdt)
+    zr_ref[:, zpad:zpad + n] = (x * (pr * tr - pi * ti)).astype(zdt)
+    zi_ref[:, zpad:zpad + n] = (x * (pr * ti + pi * tr)).astype(zdt)
+    pad = zr_ref.shape[-1] - (zpad + n)
+    if pad:
+        zr_ref[:, zpad + n:] = jnp.zeros_like(zr_ref[:, zpad + n:])
+        zi_ref[:, zpad + n:] = jnp.zeros_like(zi_ref[:, zpad + n:])
+
+    td = tdec_ref[0]                               # [klen_pad, cyc*chunk]
+    for p, z_ref in enumerate((zr_ref, zi_ref)):
+        for b in range(nchunk):
+            start = b * cyc * chunk
+            y = jnp.dot(z_ref[:, start:start + klen_pad], td,
+                        preferred_element_type=jnp.float32)
+            w = min(chunk, n_sym - b * chunk)
+            for c in range(cyc):
+                ys = y[:, c * chunk:c * chunk + w]
+                if transposed:
+                    out_ref[c, p, :, b * chunk:b * chunk + w] = ys
+                else:
+                    out_ref[:, c, p, b * chunk:b * chunk + w] = ys
+
+
+@functools.lru_cache(maxsize=8)
+def _decim_tap_matrix_aligned(alpha: float, ntaps: int, gain: float,
+                              cyc: int, chunk: int, zpad: int,
+                              klen_pad: int):
+    """T[(zpad - ntaps + 1) + j*cyc + c + k, c*chunk + j] = gain*taps[k]."""
+    taps = rrc_taps(alpha, ntaps) * gain
+    lead = zpad - (ntaps - 1)
+    t = np.zeros((klen_pad, cyc * chunk), np.float32)
+    for c in range(cyc):
+        for j in range(chunk):
+            r0 = lead + j * cyc + c
+            t[r0:r0 + ntaps, c * chunk + j] = taps
+    return t
 
 
 @functools.lru_cache(maxsize=8)
@@ -206,14 +287,20 @@ def _decim_tap_matrix(alpha: float, ntaps: int, gain: float, cyc: int,
 
 def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
                          tail_r, tail_i, *, block_channels: int = 256,
-                         chunk: int = 128, interpret: bool = False):
+                         chunk: int = 128, transposed: bool = False,
+                         aligned: bool = True,
+                         interpret: bool = False):
     """Fused front-end emitting decimated symbol planes.
 
     Same contract as ``fused_frontend`` but returns
     ``(decim, new_tail_r, new_tail_i, new_phase_r, new_phase_i)`` where
     ``decim`` is [C, cycles, 2, symbols_per_block] float32 -- the
     matched-filter output already split by decimation phase (axis 1)
-    and real/imag plane (axis 2), i.e. the hunt-window layout.
+    and real/imag plane (axis 2), i.e. the hunt-window layout.  With
+    ``transposed=True`` the layout is [cycles, 2, C, symbols_per_block]
+    instead (channel on the sublane axis): dense VMEM tiles for the
+    fused hunt+decode kernel (ops/decode_pallas.fused_hunt_decode) --
+    the channel-major layout sublane-pads its (2, n_sym) tiles 4x.
 
     ``cfg.frontend_dtype`` selects the matmul input precision: "bf16"
     runs the MXU at full rate (quantization floor ~-45 dBc, far below
@@ -228,22 +315,51 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
     cb = min(block_channels, C)
     assert C % cb == 0, (C, cb)
     nchunk = -(-n_sym // chunk)
-    klen = cyc * (chunk - 1) + ntaps
-    zlen = max(halo + n, (nchunk - 1) * cyc * chunk + (cyc - 1) + klen)
     zdt = jnp.bfloat16 if cfg.frontend_dtype == "bf16" else jnp.float32
+    if aligned and (cyc * chunk) % 128 != 0:
+        aligned = False                     # alignment trick unavailable
 
     table = mixer_table(-cfg.center, cfg.fs, n)
     tab = jnp.asarray(
         np.stack([table.real, table.imag]).reshape(1, 2, n))
-    td_np = _decim_tap_matrix(cfg.alpha, cfg.ntaps, cfg.fir_gain, cyc,
-                              chunk)
-    td = jnp.asarray(td_np.reshape(1, klen, chunk)).astype(zdt)
     phases = jnp.stack([phase_r, phase_i], axis=1)[..., None]  # [C,2,1]
     tails = jnp.stack([tail_r, tail_i], axis=1)                # [C,2,halo]
 
-    kern = functools.partial(
-        _kernel_decim, n=n, ntaps=ntaps, cyc=cyc, n_sym=n_sym,
-        chunk=chunk, inv_scale=1.0 / cfg.tx_amplitude)
+    if aligned:
+        zpad = -(-halo // 128) * 128
+        klen = zpad + cyc * chunk           # 128-multiple by construction
+        zlen = max(zpad + n, zpad + nchunk * cyc * chunk)
+        td_np = _decim_tap_matrix_aligned(
+            cfg.alpha, cfg.ntaps, cfg.fir_gain, cyc, chunk, zpad, klen)
+        td = jnp.asarray(td_np.reshape(1, klen, cyc * chunk)).astype(zdt)
+        kern = functools.partial(
+            _kernel_decim_aligned, n=n, ntaps=ntaps, cyc=cyc,
+            n_sym=n_sym, chunk=chunk, zpad=zpad, klen_pad=klen,
+            inv_scale=1.0 / cfg.tx_amplitude, transposed=transposed)
+        td_cols = cyc * chunk
+    else:
+        klen = cyc * (chunk - 1) + ntaps
+        zlen = max(halo + n,
+                   (nchunk - 1) * cyc * chunk + (cyc - 1) + klen)
+        td_np = _decim_tap_matrix(cfg.alpha, cfg.ntaps, cfg.fir_gain,
+                                  cyc, chunk)
+        td = jnp.asarray(td_np.reshape(1, klen, chunk)).astype(zdt)
+        kern = functools.partial(
+            _kernel_decim, n=n, ntaps=ntaps, cyc=cyc, n_sym=n_sym,
+            chunk=chunk, inv_scale=1.0 / cfg.tx_amplitude,
+            transposed=transposed)
+        td_cols = chunk
+
+    if transposed:
+        out_spec = pl.BlockSpec((cyc, 2, cb, n_sym),
+                                lambda i: (0, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((cyc, 2, C, n_sym), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((cb, cyc, 2, n_sym),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, cyc, 2, n_sym), jnp.float32)
 
     decim = pl.pallas_call(
         kern,
@@ -257,12 +373,11 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, n), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, klen, chunk), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, klen, td_cols), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cb, cyc, 2, n_sym), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, cyc, 2, n_sym), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((cb, zlen), zdt),
             pltpu.VMEM((cb, zlen), zdt),

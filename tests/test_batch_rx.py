@@ -60,6 +60,44 @@ def test_batch_rx_matches_scan_xla():
                        atol=1e-5)
 
 
+def test_batch_rx_fused_hunt_matches_unfused():
+    """The fully fused hunt+extract+decode kernel (fuse_hunt=True,
+    transposed windows, in-kernel correlation/argmax) must reproduce
+    the XLA-hunt path's decisions exactly: same lag/phase/peak
+    selection semantics (first-max, phase-major) and same decode."""
+    bits, frames = _frames(seed=47)
+    n = len(frames)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    st_f, out_f = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, fuse_hunt=True,
+        interpret=True)
+    st_u, out_u = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, fuse_hunt=False,
+        interpret=True)
+
+    assert np.array_equal(np.asarray(out_f.valid), np.asarray(out_u.valid))
+    assert np.array_equal(np.asarray(out_f.lag), np.asarray(out_u.lag))
+    assert np.array_equal(np.asarray(out_f.timing_phase),
+                          np.asarray(out_u.timing_phase))
+    v = np.asarray(out_u.valid)
+    assert np.array_equal(np.asarray(out_f.bits)[v],
+                          np.asarray(out_u.bits)[v])
+    assert np.allclose(np.asarray(out_f.peak), np.asarray(out_u.peak),
+                       rtol=1e-2)
+    # decoded payload is the sent payload
+    got = np.asarray(out_f.bits[:, 0])[np.asarray(out_f.valid[:, 0])]
+    assert np.array_equal(got, bits.reshape(-1, CFG.bits_per_frame))
+    # carried state identical between the two layouts
+    for a, b in zip(st_f, st_u):
+        assert np.allclose(np.asarray(a.real), np.asarray(b.real))
+        assert np.allclose(np.asarray(a.imag), np.asarray(b.imag))
+
+
 def test_batch_rx_state_carry_across_calls():
     """Splitting the stream into two prod_rx_batch calls (state carried
     between them) decodes identically to one call -- the closed-form

@@ -26,6 +26,34 @@ def test_fused_frontend_matches_oracle():
     assert float(jnp.max(jnp.abs(pr + 1j * pi - nph))) < 1e-6
 
 
+def test_fused_frontend_decim_aligned_layouts():
+    """The lane-aligned decimating kernel (phase offset folded into the
+    tap-matrix columns) equals the original per-phase-slice kernel in
+    both output layouts, and the transposed layout is an exact
+    transpose of the channel-major one."""
+    from singlecarrier_tpu.ops.frontend_pallas import fused_frontend_decim
+
+    rng = np.random.default_rng(2)
+    C = 8
+    pcm = jnp.asarray(
+        rng.integers(-16384, 16384, (C, CFG.frame_size)).astype(np.int16))
+    ph = mixer_init_phase((C,))
+    tail = fir_init_state(49, (C,))
+    args = (CFG, pcm, ph.real, ph.imag, tail.real, tail.imag)
+
+    d_old = fused_frontend_decim(*args, block_channels=8, aligned=False,
+                                 interpret=True)[0]
+    d_new = fused_frontend_decim(*args, block_channels=8, aligned=True,
+                                 interpret=True)[0]
+    d_t = fused_frontend_decim(*args, block_channels=8, aligned=True,
+                               transposed=True, interpret=True)[0]
+
+    assert np.allclose(np.asarray(d_old), np.asarray(d_new),
+                       atol=1e-2, rtol=1e-2)     # bf16 z-buffer paths
+    assert np.array_equal(np.asarray(d_t),
+                          np.asarray(jnp.transpose(d_new, (1, 2, 0, 3))))
+
+
 def test_fused_frontend_streaming_continuity():
     """Two chunked invocations with carried tail/phase == one long
     XLA-filtered stream."""

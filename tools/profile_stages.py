@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--batch", action="store_true",
                     help="profile the block-parallel prod_rx_batch "
                          "decomposition instead of the scan path")
+    ap.add_argument("--fused", action="store_true",
+                    help="profile the fully fused batch path "
+                         "(transposed front-end + one hunt/extract/"
+                         "decode kernel); stages: frontend, full")
     ap.add_argument("--fe-block", type=int, default=128)
     args = ap.parse_args()
 
@@ -104,6 +108,63 @@ def main() -> None:
             return st0, chk
         return step
 
+    def make_fused_step(stage: str):
+        """Fully fused batch decomposition (prod_rx_batch fuse_hunt):
+        transposed front-end, then ONE hunt+extract+decode kernel."""
+        import numpy as _np
+        from singlecarrier_tpu.dsp.mixer import mixer_table
+        from singlecarrier_tpu.ops.decode_pallas import fused_hunt_decode
+
+        n = cfg.frame_size
+        halo = cfg.ntaps - 1
+        inv_scale = 1.0 / cfg.tx_amplitude
+        table = mixer_table(-cfg.center, cfg.fs, n)
+        w = -2.0 * _np.pi * cfg.center / cfg.fs
+        advs = _np.exp(1j * w * n * _np.arange(B + 1)).astype(
+            _np.complex64)
+        cyc = cfg.cycles
+
+        @jax.jit
+        def step(st0, pcm):
+            p0r, p0i, t0r, t0i, dprev0 = st0
+            ar = jnp.asarray(advs.real[:B, None])
+            ai = jnp.asarray(advs.imag[:B, None])
+            ph_r = p0r[None] * ar - p0i[None] * ai
+            ph_i = p0r[None] * ai + p0i[None] * ar
+            x_t = pcm[:, :, n - halo:].astype(jnp.float32) * inv_scale
+            tr_t = jnp.asarray(table.real[n - halo:])
+            ti_t = jnp.asarray(table.imag[n - halo:])
+            tl_r = x_t * (ph_r[..., None] * tr_t - ph_i[..., None] * ti_t)
+            tl_i = x_t * (ph_r[..., None] * ti_t + ph_i[..., None] * tr_t)
+            tails_r = jnp.concatenate([t0r[None], tl_r[:-1]], 0)
+            tails_i = jnp.concatenate([t0i[None], tl_i[:-1]], 0)
+            N = B * C
+            dcur_t, _, _, _, _ = fused_frontend_decim(
+                cfg, pcm.reshape(N, n), ph_r.reshape(N), ph_i.reshape(N),
+                tails_r.reshape(N, halo), tails_i.reshape(N, halo),
+                block_channels=args.fe_block, transposed=True)
+            chk = dcur_t[0, 0, :, 0].sum()
+            if stage == "full":
+                decim_t = dcur_t.reshape(cyc, 2, B, C, n_sym)
+                dprev_t = jnp.concatenate(
+                    [jnp.zeros_like(decim_t[:, :, :1]), decim_t[:, :, :-1]],
+                    axis=2)
+                off = cfg.eq_length // 2
+                need = (n_sym - 1) + cfg.pkt_window
+                wp = -(-max(need, off + 2 * n_sym) // 128) * 128
+                zl = jnp.zeros((cyc, 2, B, C, off), jnp.float32)
+                zr2 = jnp.zeros((cyc, 2, B, C, wp - off - 2 * n_sym),
+                                jnp.float32)
+                windows = jnp.concatenate(
+                    [zl, dprev_t, decim_t, zr2], -1).reshape(
+                        cyc, 2, N, wp)
+                dec = fused_hunt_decode(cfg, windows, descramble=True,
+                                        block_channels=min(64, N))
+                chk = (chk + dec["eq_error"].sum()
+                       + dec["lag"].sum().astype(jnp.float32))
+            return st0, chk
+        return step
+
     def make_step(stage: str):
         def body(st, pcm):
             pr, pi_, tr, ti, dprev = st
@@ -145,10 +206,13 @@ def main() -> None:
     pcm = synth(jax.random.PRNGKey(0))
 
     stages = (args.stages.split(",") if args.stages
-              else ["frontend", "hunt", "extract", "full"])
+              else (["frontend", "full"] if args.fused
+                    else ["frontend", "hunt", "extract", "full"]))
     results = {}
     for stage in stages:
-        step = make_batch_step(stage) if args.batch else make_step(stage)
+        step = (make_fused_step(stage) if args.fused
+                else make_batch_step(stage) if args.batch
+                else make_step(stage))
         st = st0
         for _ in range(args.warmup):
             st, chk = step(st, pcm)
