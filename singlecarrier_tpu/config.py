@@ -69,7 +69,11 @@ class ModemConfig:
                                   # below any operating channel SNR.
                                   # "f32" for bit-conservative parity
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
-    phase_refine_iters: int = 2   # decision-directed phase-ramp passes
+    phase_refine_iters: int = 3   # GUARDED decision-directed
+                                  # phase-ramp passes (each applied
+                                  # only where the decision error
+                                  # drops; see ls_equalizer.
+                                  # phase_refine)
     ls_refit_iters: int = 1       # decision-directed LS refit passes
     frac_timing: bool = False     # sub-sample timing recovery: parabolic
                                   # interpolation of the correlation peak

@@ -471,38 +471,39 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
 
         return lax.scan(body_c, state, pcm_frames)
 
-    # ---- plane-typed fast path ----
+    # ---- plane-typed fast path (fused hunt+extract+decode kernel,
+    # transposed decim carry [cyc, 2, C, n_sym]) ----
+    from ..ops.decode_pallas import fused_hunt_decode_decim
+
     def body(st, pcm):
-        pr, pi_, tr, ti, dprev = st
-        dcur, ntr, nti, npr, npi = fused_frontend_decim(
+        pr, pi_, tr, ti, dprev_t = st
+        dcur_t, ntr, nti, npr, npi = fused_frontend_decim(
             cfg, pcm, pr, pi_, tr, ti,
-            block_channels=block_channels, interpret=interpret)
+            block_channels=block_channels, transposed=True,
+            interpret=interpret)
 
-        C = dcur.shape[0]
-        windows = jnp.concatenate([dprev, dcur], axis=-1)
-
-        lag, phase_idx, peak = _hunt_planes(cfg, windows)
-        pkt = _extract_packet_planes(cfg, windows, lag, phase_idx)
-
-        # Smaller channel block than the front-end: the decode kernel's
-        # live dataflow (~50 [cb, 384] f32 values) must fit the 16 MB
-        # VMEM scoped stack.
-        dec = fused_decode(cfg, pkt[:, 0], pkt[:, 1], peak,
-                           descramble=descramble,
-                           block_channels=min(decode_block_channels, C),
-                           interpret=interpret)
-        out = _decode_out(cfg, dec, lag, phase_idx, peak)
-        return (npr, npi, ntr, nti, dcur), out
+        C = pcm.shape[0]
+        decim_ext = jnp.concatenate([dprev_t, dcur_t], axis=2)
+        dec = fused_hunt_decode_decim(
+            cfg, decim_ext, channels=C, descramble=descramble,
+            block_channels=min(decode_block_channels, C),
+            interpret=interpret)
+        out = _decode_out(cfg, dec, dec["lag"], dec["phase_idx"],
+                          dec["peak"])
+        return (npr, npi, ntr, nti, dcur_t), out
 
     st0 = (state.phase.real, state.phase.imag,
            state.fir_tail.real, state.fir_tail.imag,
-           jnp.stack([state.decim_prev.real, state.decim_prev.imag],
-                     axis=2))
-    (npr, npi, ntr, nti, dcur), outs = lax.scan(body, st0, pcm_frames)
+           jnp.transpose(
+               jnp.stack([state.decim_prev.real, state.decim_prev.imag],
+                         axis=0), (2, 0, 1, 3)))
+    (npr, npi, ntr, nti, dcur_t), outs = lax.scan(body, st0, pcm_frames)
     final = ProdRxState(
         phase=lax.complex(npr, npi),
         fir_tail=lax.complex(ntr, nti),
-        decim_prev=lax.complex(dcur[:, :, 0], dcur[:, :, 1]))
+        decim_prev=lax.complex(
+            jnp.transpose(dcur_t[:, 0], (1, 0, 2)),
+            jnp.transpose(dcur_t[:, 1], (1, 0, 2))))
     return final, outs
 
 
@@ -575,38 +576,30 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
 
     if fuse_extract and fuse_hunt:
         # Fully fused post-frontend path: ONE kernel does hunt +
-        # extract + decode (ops/decode_pallas.fused_hunt_decode) on
-        # TRANSPOSED windows [cyc, 2, N, Wp] -- the channel-major
-        # layout's (2, Wp) VMEM tiles sublane-pad 4x, and the XLA hunt
-        # round-trips its [N, cyc*2, lags*segs] corr intermediate
-        # through HBM (the dominant hunt cost).
-        from ..ops.decode_pallas import fused_hunt_decode
+        # extract + decode (ops/decode_pallas.fused_hunt_decode_decim)
+        # on TRANSPOSED decim planes [cyc, 2, N+C, n_sym] -- the
+        # channel-major layout's (2, W) VMEM tiles sublane-pad 4x, the
+        # XLA hunt round-trips its [N, cyc*2, lags*segs] corr
+        # intermediate through HBM (the dominant hunt cost), and the
+        # kernel reads prev/cur decim blocks directly (rows k and k+C
+        # of one array) instead of a materialized padded windows array.
+        from ..ops.decode_pallas import fused_hunt_decode_decim
         dcur_t, _, _, _, _ = fused_frontend_decim(
             cfg, pcm_frames.reshape(N, n),
             ph_r.reshape(N), ph_i.reshape(N),
             tails_r.reshape(N, halo), tails_i.reshape(N, halo),
             block_channels=min(block_channels, N), transposed=True,
             interpret=interpret)
-        decim_t = dcur_t.reshape(cfg.cycles, 2, B, C, n_sym)
 
         dprev0_t = jnp.stack(
             [state.decim_prev.real, state.decim_prev.imag],
             axis=0)                                     # [2, C, cyc, .]
-        dprev0_t = jnp.transpose(dprev0_t, (2, 0, 1, 3))[:, :, None]
-        dprev_t = jnp.concatenate([dprev0_t, decim_t[:, :, :-1]], axis=2)
+        dprev0_t = jnp.transpose(dprev0_t, (2, 0, 1, 3))
+        decim_ext = jnp.concatenate([dprev0_t, dcur_t], axis=2)
 
-        off = cfg.eq_length // 2
-        need = (n_sym - 1) + cfg.pkt_window
-        wp = -(-max(need, off + 2 * n_sym) // 128) * 128
-        zl = jnp.zeros((cfg.cycles, 2, B, C, off), jnp.float32)
-        zr_ = jnp.zeros((cfg.cycles, 2, B, C, wp - off - 2 * n_sym),
-                        jnp.float32)
-        windows = jnp.concatenate(
-            [zl, dprev_t, decim_t, zr_], -1).reshape(
-                cfg.cycles, 2, N, wp)
-        dec = fused_hunt_decode(
-            cfg, windows, descramble=descramble,
-            block_channels=min(decode_block_channels, N),
+        dec = fused_hunt_decode_decim(
+            cfg, decim_ext, channels=C, descramble=descramble,
+            block_channels=min(decode_block_channels, N, C),
             interpret=interpret)
         lag, phase_idx = dec["lag"], dec["phase_idx"]
         peak = dec["peak"]
@@ -619,7 +612,7 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
         fi = (p0r * np.float32(advs.imag[B])
               + p0i * np.float32(advs.real[B]))
         mag = jnp.sqrt(fr * fr + fi * fi)
-        dlast = decim_t[:, :, -1]                       # [cyc, 2, C, .]
+        dlast = dcur_t[:, :, (B - 1) * C:]              # [cyc, 2, C, .]
         return ProdRxState(
             phase=lax.complex(fr / mag, fi / mag),
             fir_tail=lax.complex(tl_r[-1], tl_i[-1]),

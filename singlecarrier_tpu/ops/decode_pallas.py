@@ -271,7 +271,16 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
         cr = [keep * a + (1.0 - keep) * b for a, b in zip(cr2, cr)]
         ci = [keep * a + (1.0 - keep) * b for a, b in zip(ci2, ci)]
 
-    # ---- decode + clamped phase/frequency refinement ----
+    # ---- decode + clamped GUARDED phase/frequency refinement ----
+    def _derr(xr, xi):
+        # amplitude-normalized mean decision distance (the guard
+        # metric; matches ls_equalizer._refine_err)
+        _, hrr, hhh = _slice_hard(xr, xi)
+        mg = _reduce_last(jnp.sqrt(xr * xr + xi * xi)) / D + 1e-9
+        er = xr / mg - hrr
+        ei = xi / mg - hhh
+        return _reduce_last(jnp.sqrt(er * er + ei * ei))
+
     ar, ai = _apply(dat_r, dat_i, cr, ci, L, D)
     a_max = np.float32(np.pi / 8.0)
     b_max = np.float32(np.pi / 8.0 / D)
@@ -293,7 +302,12 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
         a = jnp.clip(z0i / (jnp.abs(z0r) + 1e-20), -a_max, a_max)
         ang2 = -a - b * kd
         c2, s2 = jnp.cos(ang2), jnp.sin(ang2)
-        ar, ai = ar * c2 - ai * s2, ar * s2 + ai * c2
+        ar2, ai2 = ar * c2 - ai * s2, ar * s2 + ai * c2
+        # guard: unguarded iteration accumulates estimator noise
+        # (+0.7 dB at 2 iters; see ls_equalizer.phase_refine)
+        keep = (_derr(ar2, ai2) <= _derr(ar, ai)).astype(f32)
+        ar = keep * ar2 + (1.0 - keep) * ar
+        ai = keep * ai2 + (1.0 - keep) * ai
 
     dib, hr, hh = _slice_hard(ar, ai)
     mag = _reduce_last(jnp.sqrt(ar * ar + ai * ai)) / D + 1e-9
@@ -392,11 +406,11 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
     }
 
 
-def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
-                        mask_ref, out_ref, *, cyc, wp, pkt_len, n_lags,
-                        n_lags_pad, segs_per_chunk, n_chunks, klen, P,
-                        D, L, off, nfft, rs, peak_gate, ls_reg,
-                        refit_iters, refine_iters, hunt_bf16):
+def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
+                      mask_ref, out_ref, *, cyc, wp, pkt_len, n_lags,
+                      n_lags_pad, segs_per_chunk, n_chunks, klen, P,
+                      D, L, off, nfft, rs, peak_gate, ls_reg,
+                      refit_iters, refine_iters, hunt_bf16):
     """Hunt + extract + decode, fully fused.
 
     Replaces the XLA hunt stage (rx_production._hunt_planes), whose
@@ -407,10 +421,14 @@ def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
     Here the correlation runs with M = cyc*2*cb rows (MXU-shaped) and
     corr/power/argmax never leave VMEM.
 
-    ``win_ref``: [cyc, 2, cb, Wp] hunt-window planes -- the TRANSPOSED
-    layout (channel on the sublane axis) so every per-(phase, plane)
-    slice is a dense 2D tile; the [cb, cyc, 2, Wp] layout of
-    ``_decode_extract_kernel`` sublane-pads its (2, Wp) tiles 4x.
+    ``wins``: a [cyc][2]-nested list of [cb, Wp] hunt-window plane
+    VALUES (not refs) -- the TRANSPOSED layout (channel on the sublane
+    axis) so every per-(phase, plane) slice is a dense 2D tile; the
+    [cb, cyc, 2, Wp] layout of ``_decode_extract_kernel`` sublane-pads
+    its (2, Wp) tiles 4x.  Callers either slice a windows ref or
+    assemble the windows in VMEM from prev/cur decim refs
+    (``_hunt_decode_decim_kernel`` -- skips materializing the padded,
+    2x-duplicated windows array in HBM entirely).
 
     The segment-major band matrix is consumed in ``n_chunks`` column
     chunks to bound the live ``corr`` tile; power accumulates into
@@ -418,7 +436,7 @@ def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
     combines by static cb-aligned SUBLANE slices of the chunk -- rows
     of the matmul are ordered (phase-major, plane, channel).
     """
-    cb = win_ref.shape[2]
+    cb = wins[0][0].shape[0]
     f32 = jnp.float32
     dt = jnp.bfloat16 if hunt_bf16 else f32
 
@@ -426,7 +444,7 @@ def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
     xs = []
     for c in range(cyc):
         for pl_ in range(2):
-            xs.append(win_ref[c, pl_][:, :klen].astype(dt))
+            xs.append(wins[c][pl_][:, :klen].astype(dt))
     x = jnp.concatenate(xs, axis=0)
 
     csz = segs_per_chunk * n_lags_pad
@@ -463,8 +481,8 @@ def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
     sel_i = jnp.zeros((cb, wp), f32)
     for k in range(cyc):
         mk = (best_ph == k).astype(f32)
-        sel_r = sel_r + mk * win_ref[k, 0]
-        sel_i = sel_i + mk * win_ref[k, 1]
+        sel_r = sel_r + mk * wins[k][0]
+        sel_i = sel_i + mk * wins[k][1]
 
     nbits = max(1, int(np.ceil(np.log2(max(wp - pkt_len, 2)))))
     for j in range(nbits):
@@ -484,6 +502,36 @@ def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
     out_ref[:, D + 5:D + 6] = best_lag.astype(f32)
     out_ref[:, D + 6:D + 7] = best_ph.astype(f32)
     out_ref[:, D + 7:D + 8] = peak
+
+
+def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
+                        mask_ref, out_ref, *, cyc, **kw):
+    wins = [[win_ref[c, p_] for p_ in range(2)] for c in range(cyc)]
+    _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, mask_ref,
+                      out_ref, cyc=cyc, **kw)
+
+
+def _hunt_decode_decim_kernel(prev_ref, cur_ref, mat_ref, wr_ref,
+                              wi_ref, pn_ref, mask_ref, out_ref, *,
+                              cyc, wp, off, n_sym, **kw):
+    """Hunt+extract+decode reading prev/cur decim blocks directly.
+
+    The windows-array interface costs an HBM round trip of a
+    [cyc, 2, N, Wp] array that is ~26% zero padding and duplicates
+    every decim block twice (as `cur` of its own window and `prev` of
+    the next).  Here the caller passes the SAME [cyc, 2, N+C, n_sym]
+    extended decim array under two BlockSpecs offset by C rows (prev =
+    rows k, cur = rows k+C), and the [cb, Wp] window planes are
+    assembled in VMEM by lane concatenation.
+    """
+    cb = prev_ref.shape[2]
+    zoff = jnp.zeros((cb, off), jnp.float32)
+    zpad = jnp.zeros((cb, wp - off - 2 * n_sym), jnp.float32)
+    wins = [[jnp.concatenate(
+                [zoff, prev_ref[c, p_], cur_ref[c, p_], zpad], axis=-1)
+             for p_ in range(2)] for c in range(cyc)]
+    _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, mask_ref,
+                      out_ref, cyc=cyc, wp=wp, off=off, **kw)
 
 
 def fused_hunt_decode(cfg: ModemConfig, windows, *,
@@ -568,6 +616,115 @@ def fused_hunt_decode(cfg: ModemConfig, windows, *,
         out_shape=jax.ShapeDtypeStruct((N, n_out), jnp.float32),
         interpret=interpret,
     )(windows, mat, wr, wi, pn, maskj)
+
+    return {
+        "dibits": out[:, :D],
+        "matches": out[:, D].astype(jnp.int32),
+        "eq_error": out[:, D + 1],
+        "cfo_hz": out[:, D + 2],
+        "gated": out[:, D + 3] > 0.5,
+        "energy": out[:, D + 4],
+        "lag": out[:, D + 5].astype(jnp.int32),
+        "phase_idx": out[:, D + 6].astype(jnp.int32),
+        "peak": out[:, D + 7],
+    }
+
+
+def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
+                            channels: int, descramble: bool = True,
+                            block_channels: int = 64,
+                            segs_per_chunk: int = 2,
+                            interpret: bool = False):
+    """Fused hunt+extract+decode straight from decimated symbol planes.
+
+    Args:
+      decim_ext: [cycles, 2, N + channels, n_sym] f32 -- the carried
+                 previous-block decim planes for every channel
+                 (``channels`` rows) followed by the batch's decim
+                 planes in (block-major, channel) order, i.e. element
+                 k's previous block is row k and its own block is row
+                 k + channels.  No padding, no duplication: the hunt
+                 windows are assembled in VMEM (see
+                 ``_hunt_decode_decim_kernel``).
+      channels:  C (the row offset between a block and its
+                 predecessor).
+
+    Returns the same stat dict as ``fused_hunt_decode``.
+    """
+    P = cfg.preamble_length
+    D = cfg.frame_symbols
+    L = cfg.eq_length
+    off = L // 2
+    nfft = cfg.cfo_nfft
+    pkt_len = cfg.pkt_window
+    n_lags = cfg.symbols_per_block
+    n_seg = cfg.corr_segments
+    n_sym = cfg.symbols_per_block
+    n_lags_pad = -(-n_lags // 128) * 128
+    cyc = decim_ext.shape[0]
+    C = channels
+    N = decim_ext.shape[2] - C
+    klen = off + n_lags + P - 1
+    need = (n_lags - 1) + pkt_len
+    wp = -(-max(need, off + 2 * n_sym, klen) // 128) * 128
+    cb = min(block_channels, N)
+    assert N % cb == 0 and C % cb == 0, (N, C, cb)
+    assert n_seg % segs_per_chunk == 0
+    n_chunks = n_seg // segs_per_chunk
+    csz = segs_per_chunk * n_lags_pad
+    n_out = -(-(D + 8) // 128) * 128
+
+    mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg, P, off)
+    hunt_bf16 = cfg.hunt_dtype == "bf16"
+    mdt = jnp.bfloat16 if hunt_bf16 else jnp.float32
+    mat = jnp.asarray(mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
+                      dtype=mdt)
+
+    wm = _dft_matrix(P, nfft)
+    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
+    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
+    pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
+    if descramble:
+        mask = scramble_dibit_mask()[:D].astype(np.float32)
+    else:
+        mask = np.zeros(D, np.float32)
+    maskj = jnp.asarray(mask.reshape(1, 1, D))
+
+    kern = functools.partial(
+        _hunt_decode_decim_kernel, cyc=cyc, wp=wp, n_sym=n_sym,
+        pkt_len=pkt_len, n_lags=n_lags, n_lags_pad=n_lags_pad,
+        segs_per_chunk=segs_per_chunk, n_chunks=n_chunks, klen=klen,
+        P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
+        peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
+        refit_iters=cfg.ls_refit_iters,
+        refine_iters=cfg.phase_refine_iters, hunt_bf16=hunt_bf16)
+
+    cshift = C // cb
+    out = pl.pallas_call(
+        kern,
+        grid=(N // cb,),
+        in_specs=[
+            pl.BlockSpec((cyc, 2, cb, n_sym), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cyc, 2, cb, n_sym),
+                         lambda i: (0, 0, i + cshift, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunks, klen, csz), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, n_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, n_out), jnp.float32),
+        interpret=interpret,
+    )(decim_ext, decim_ext, mat, wr, wi, pn, maskj)
 
     return {
         "dibits": out[:, :D],

@@ -30,15 +30,17 @@ def test_low_snr_detects(sweep):
 
 
 def test_theory_anchor(sweep):
-    """Measured BER within 1.5 dB of the coherent QPSK theory curve.
+    """Measured BER within 0.5 dB of the coherent QPSK theory curve.
 
-    Measured implementation loss is 0.5-1.0 dB across 2-8 dB passband
-    SNR (slicer-SNR probes confirm the decision point sits at the
-    matched-filter bound minus the LS-estimation noise of 128
-    half-amplitude training chips + decision-directed refit).
+    Measured implementation loss is < 0.3 dB across 2-6 dB passband
+    SNR and 0-35 Hz CFO since the GUARDED phase refinement landed
+    (unguarded refinement iterations accumulated estimator noise worth
+    0.6-1.0 dB; see adaptive/ls_equalizer.phase_refine).  The residual
+    is the LS-estimation noise of 128 half-amplitude training chips,
+    mostly recovered by the decision-directed refit.
     """
     p = sweep[1]   # 6 dB passband
-    worse = qpsk_theory_ber(p["ebn0_db"] - 1.5)[0]
+    worse = qpsk_theory_ber(p["ebn0_db"] - 0.5)[0]
     assert p["ber"] <= worse + 0.02, (p, worse)
 
 

@@ -17,6 +17,15 @@ Usage: python tools/gen_golden.py
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# Runnable as `python tools/<name>.py` from the repo root: the
+# script dir shadows the cwd on sys.path (and PYTHONPATH breaks
+# axon plugin discovery -- .claude/skills/verify/SKILL.md).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import pathlib
 import subprocess
 import sys

@@ -3,6 +3,15 @@
 (BER vs ground truth at a moderate SNR).  Supports ROADMAP round-3
 item 2 / the PARITY_TPU.json investigation."""
 
+import os as _os
+import sys as _sys
+
+# Runnable as `python tools/<name>.py` from the repo root: the
+# script dir shadows the cwd on sys.path (and PYTHONPATH breaks
+# axon plugin discovery -- .claude/skills/verify/SKILL.md).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 
 import jax

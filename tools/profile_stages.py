@@ -15,6 +15,15 @@ table in us/block-channel (1880 samples).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# Runnable as `python tools/<name>.py` from the repo root: the
+# script dir shadows the cwd on sys.path (and PYTHONPATH breaks
+# axon plugin discovery -- .claude/skills/verify/SKILL.md).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

@@ -16,6 +16,15 @@ Prints one row per kernel + a JSON line; writes ROOFLINE.md.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# Runnable as `python tools/<name>.py` from the repo root: the
+# script dir shadows the cwd on sys.path (and PYTHONPATH breaks
+# axon plugin discovery -- .claude/skills/verify/SKILL.md).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time
@@ -140,6 +149,31 @@ def main() -> None:
         "us_per_block_channel": dt / N * 1e6,
         "gflops": flops_ch * N / dt / 1e9,
         "pct_mxu_bf16": flops_ch * N / dt / PEAK_F32 * 100,
+        "gbytes_per_s": bytes_ch * N / dt / 1e9,
+        "pct_hbm": bytes_ch * N / dt / PEAK_HBM * 100,
+    })
+
+    # ---- fused hunt + extract + decode (one kernel) ----
+    from singlecarrier_tpu.ops.decode_pallas import fused_hunt_decode
+    wt = jax.random.normal(key, (cyc, 2, N, wp), jnp.float32) * 0.1
+
+    @jax.jit
+    def hdec(w):
+        d = fused_hunt_decode(cfg, w, block_channels=min(64, N))
+        return d["eq_error"].sum() + d["lag"].sum().astype(jnp.float32)
+
+    dt = timeit(hdec, wt)
+    n_lags_pad = -(-n_sym // 128) * 128
+    klen = off + n_sym + cfg.preamble_length - 1
+    hunt_flops = cyc * 2 * klen * (cfg.corr_segments * n_lags_pad) * 2
+    dft_flops = 4 * cfg.preamble_length * cfg.cfo_nfft * 2
+    flops_ch = hunt_flops + dft_flops
+    bytes_ch = cyc * 2 * wp * 4 + 384 * 4               # windows in + out
+    rows.append({
+        "kernel": "fused_hunt_decode (hunt+shift+CFO+LS+decode)",
+        "us_per_block_channel": dt / N * 1e6,
+        "gflops": flops_ch * N / dt / 1e9,
+        "pct_mxu_bf16": hunt_flops * N / dt / PEAK_BF16 * 100,
         "gbytes_per_s": bytes_ch * N / dt / 1e9,
         "pct_hbm": bytes_ch * N / dt / PEAK_HBM * 100,
     })
