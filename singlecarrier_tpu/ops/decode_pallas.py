@@ -564,6 +564,7 @@ def fused_hunt_decode(cfg: ModemConfig, windows, *,
     assert Wp >= klen, (Wp, klen)
     cb = min(block_channels, N)
     assert N % cb == 0
+    segs_per_chunk = min(segs_per_chunk, n_seg)
     assert n_seg % segs_per_chunk == 0
     n_chunks = n_seg // segs_per_chunk
     csz = segs_per_chunk * n_lags_pad
@@ -669,6 +670,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
     wp = -(-max(need, off + 2 * n_sym, klen) // 128) * 128
     cb = min(block_channels, N)
     assert N % cb == 0 and C % cb == 0, (N, C, cb)
+    segs_per_chunk = min(segs_per_chunk, n_seg)
     assert n_seg % segs_per_chunk == 0
     n_chunks = n_seg // segs_per_chunk
     csz = segs_per_chunk * n_lags_pad

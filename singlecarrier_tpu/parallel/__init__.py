@@ -1,5 +1,6 @@
 from .mesh import make_mesh, device_count
-from .sharded_rx import make_channel_sharded_rx, shard_channel_state
+from .sharded_rx import (make_channel_sharded_rx, metrics_summary,
+                         shard_channel_state)
 from .timeshard import (time_sharded_rx, make_time_sharded_rx,
                         grid_sharded_rx, make_grid_sharded_rx)
 
@@ -7,6 +8,7 @@ __all__ = [
     "make_mesh",
     "device_count",
     "make_channel_sharded_rx",
+    "metrics_summary",
     "shard_channel_state",
     "time_sharded_rx",
     "make_time_sharded_rx",

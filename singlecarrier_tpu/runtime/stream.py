@@ -33,9 +33,11 @@ class StreamDemodulator:
     """
 
     def __init__(self, cfg: ModemConfig, n_channels: int, *,
-                 descramble: bool = True, metrics: bool = True):
+                 descramble: bool = True, metrics: bool = True,
+                 validate: bool = False):
         self.cfg = cfg
         self.n_channels = n_channels
+        self.validate = validate
         self.state = prod_rx_init(cfg, (n_channels,))
         self._step = jax.jit(jax.vmap(
             lambda st, pcm: prod_rx_frame(cfg, st, pcm,
@@ -50,6 +52,10 @@ class StreamDemodulator:
             raise ValueError(
                 f"expected {(self.n_channels, self.cfg.frame_size)}, "
                 f"got {pcm_block.shape}")
+        if self.validate:
+            from .validate import assert_pcm_block, assert_rx_state
+            assert_pcm_block(self.cfg, pcm_block, self.n_channels)
+            assert_rx_state(self.cfg, self.state, self.n_channels)
         self.state, out = self._step(self.state, pcm_block)
         self.blocks_processed += 1
         if self.metrics is not None:

@@ -62,6 +62,32 @@ def test_channel_sharded_rx_matches_single(stream):
                               np.asarray(ref.bits))
 
 
+def test_sharded_metrics_reduction(stream):
+    """metrics_summary reduces across the sharded channel axis (the
+    all-reduce XLA lowers to psum over the mesh): jitted-on-mesh values
+    must equal the host-side computation on gathered arrays."""
+    from singlecarrier_tpu.parallel import metrics_summary
+
+    bits, frames = stream
+    mesh = make_mesh(ch=8, time=1)
+    n_ch = 16
+    batch = jnp.asarray(np.broadcast_to(
+        frames, (n_ch, *frames.shape)).copy())
+    fn = make_channel_sharded_rx(CFG, mesh, descramble=False)
+    state = shard_channel_state(prod_rx_init(CFG, (n_ch,)), mesh)
+    _, out = fn(state, batch)
+
+    m = jax.jit(metrics_summary)(out)   # reduction over sharded leaves
+    valid = np.asarray(out.valid)
+    cfo = np.asarray(out.cfo_hz)
+    eqe = np.asarray(out.eq_error)
+    assert int(m["packets_detected"]) == int(valid.sum()) == 10 * n_ch
+    assert np.isclose(float(m["mean_cfo_hz"]),
+                      cfo[valid].mean(), atol=1e-5)
+    assert np.isclose(float(m["mean_eq_error"]),
+                      eqe[valid].mean(), rtol=1e-5)
+
+
 def test_time_sharded_seam_exactness(stream):
     """Overlap-save halo exchange: identical decisions across shard
     seams vs the single-device scan."""

@@ -46,6 +46,7 @@ def main() -> None:
                          "(transposed front-end + one hunt/extract/"
                          "decode kernel); stages: frontend, full")
     ap.add_argument("--fe-block", type=int, default=128)
+    ap.add_argument("--decode-block", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -122,7 +123,8 @@ def main() -> None:
         transposed front-end, then ONE hunt+extract+decode kernel."""
         import numpy as _np
         from singlecarrier_tpu.dsp.mixer import mixer_table
-        from singlecarrier_tpu.ops.decode_pallas import fused_hunt_decode
+        from singlecarrier_tpu.ops.decode_pallas import \
+            fused_hunt_decode_decim
 
         n = cfg.frame_size
         halo = cfg.ntaps - 1
@@ -154,21 +156,11 @@ def main() -> None:
                 block_channels=args.fe_block, transposed=True)
             chk = dcur_t[0, 0, :, 0].sum()
             if stage == "full":
-                decim_t = dcur_t.reshape(cyc, 2, B, C, n_sym)
-                dprev_t = jnp.concatenate(
-                    [jnp.zeros_like(decim_t[:, :, :1]), decim_t[:, :, :-1]],
-                    axis=2)
-                off = cfg.eq_length // 2
-                need = (n_sym - 1) + cfg.pkt_window
-                wp = -(-max(need, off + 2 * n_sym) // 128) * 128
-                zl = jnp.zeros((cyc, 2, B, C, off), jnp.float32)
-                zr2 = jnp.zeros((cyc, 2, B, C, wp - off - 2 * n_sym),
-                                jnp.float32)
-                windows = jnp.concatenate(
-                    [zl, dprev_t, decim_t, zr2], -1).reshape(
-                        cyc, 2, N, wp)
-                dec = fused_hunt_decode(cfg, windows, descramble=True,
-                                        block_channels=min(64, N))
+                dprev0_t = jnp.zeros((cyc, 2, C, n_sym), jnp.float32)
+                decim_ext = jnp.concatenate([dprev0_t, dcur_t], axis=2)
+                dec = fused_hunt_decode_decim(
+                    cfg, decim_ext, channels=C, descramble=True,
+                    block_channels=min(args.decode_block, N, C))
                 chk = (chk + dec["eq_error"].sum()
                        + dec["lag"].sum().astype(jnp.float32))
             return st0, chk

@@ -154,12 +154,13 @@ def main() -> None:
     })
 
     # ---- fused hunt + extract + decode (one kernel) ----
-    from singlecarrier_tpu.ops.decode_pallas import fused_hunt_decode
-    wt = jax.random.normal(key, (cyc, 2, N, wp), jnp.float32) * 0.1
+    from singlecarrier_tpu.ops.decode_pallas import fused_hunt_decode_decim
+    wt = jax.random.normal(key, (cyc, 2, 2 * N, n_sym), jnp.float32) * 0.1
 
     @jax.jit
     def hdec(w):
-        d = fused_hunt_decode(cfg, w, block_channels=min(64, N))
+        d = fused_hunt_decode_decim(cfg, w, channels=N,
+                                    block_channels=min(64, N))
         return d["eq_error"].sum() + d["lag"].sum().astype(jnp.float32)
 
     dt = timeit(hdec, wt)
@@ -168,7 +169,7 @@ def main() -> None:
     hunt_flops = cyc * 2 * klen * (cfg.corr_segments * n_lags_pad) * 2
     dft_flops = 4 * cfg.preamble_length * cfg.cfo_nfft * 2
     flops_ch = hunt_flops + dft_flops
-    bytes_ch = cyc * 2 * wp * 4 + 384 * 4               # windows in + out
+    bytes_ch = cyc * 2 * 2 * n_sym * 4 + 384 * 4        # prev+cur in + out
     rows.append({
         "kernel": "fused_hunt_decode (hunt+shift+CFO+LS+decode)",
         "us_per_block_channel": dt / N * 1e6,
