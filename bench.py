@@ -32,8 +32,8 @@ def main() -> None:
     # Large batch per dispatch: the tunneled dev environment has a
     # ~30 ms per-dispatch floor that must be amortized to measure the
     # device (production deployments dispatch locally/async).
-    ap.add_argument("--channels", type=int, default=4096)
-    ap.add_argument("--blocks", type=int, default=16)
+    ap.add_argument("--channels", type=int, default=16384)
+    ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--fe-block", type=int, default=128,
@@ -125,8 +125,11 @@ def main() -> None:
     sps = samples / dt
     channels_realtime = sps / cfg.fs
 
-    metric = ("demod_samples_per_sec_per_chip" if args.mode == "production"
-              else "faithful_demod_samples_per_sec_per_chip")
+    metric = {
+        "production": "demod_samples_per_sec_per_chip",
+        "production-scan": "scan_demod_samples_per_sec_per_chip",
+        "faithful": "faithful_demod_samples_per_sec_per_chip",
+    }[args.mode]
     print(json.dumps({
         "metric": metric,
         "value": round(sps, 1),

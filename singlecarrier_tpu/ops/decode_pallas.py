@@ -173,6 +173,22 @@ def _apply(pr, pi, cr, ci, L, count):
     return ar, ai
 
 
+def _cossin_small(x):
+    """cos/sin via Taylor polynomials, valid for |x| <= ~0.8 rad.
+
+    The refine-loop corrections are clamped to |a| + |b|*D <= pi/4, so
+    range reduction is unnecessary: 4th/5th-order truncation keeps the
+    rotation error < 4e-4 rad -- far below the decision noise at any
+    operating SNR, and the refine guard rejects any harmful step.
+    Replaces four transcendental array ops per refine iteration.
+    """
+    x2 = x * x
+    c = 1.0 + x2 * (-0.5 + x2 * np.float32(1.0 / 24.0))
+    s = x * (1.0 + x2 * (np.float32(-1.0 / 6.0)
+                         + x2 * np.float32(1.0 / 120.0)))
+    return c, s
+
+
 def _slice_hard(ar, ai):
     """QPSK decisions in the raw domain: sym = raw*(1+j)."""
     sr = ar - ai
@@ -294,14 +310,14 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
         # small-angle: angle ~ imag/real (corrections are clamped)
         b = jnp.clip(inci / (jnp.abs(incr) + 1e-20), -b_max, b_max)
         angd = -b * kd
-        dc, dsn = jnp.cos(angd), jnp.sin(angd)
+        dc, dsn = _cossin_small(angd)
         zr2 = zr * dc - zi * dsn
         zi2 = zr * dsn + zi * dc
         z0r = _reduce_last(zr2)
         z0i = _reduce_last(zi2)
         a = jnp.clip(z0i / (jnp.abs(z0r) + 1e-20), -a_max, a_max)
         ang2 = -a - b * kd
-        c2, s2 = jnp.cos(ang2), jnp.sin(ang2)
+        c2, s2 = _cossin_small(ang2)
         ar2, ai2 = ar * c2 - ai * s2, ar * s2 + ai * c2
         # guard: unguarded iteration accumulates estimator noise
         # (+0.7 dB at 2 iters; see ls_equalizer.phase_refine)
@@ -484,11 +500,21 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
         sel_r = sel_r + mk * wins[k][0]
         sel_i = sel_i + mk * wins[k][1]
 
+    # Progressive-narrowing barrel shift, MSB first: before processing
+    # bit j the remaining shift is <= 2^(j+1)-1, so only the first
+    # pkt_len + 2^(j+1)-1 columns matter -- slice the rolled width down
+    # as high bits retire (1024 -> 896 -> 640 -> 512 at the default
+    # numerology; ~1.8x less VPU roll work than fixed-width rolls).
     nbits = max(1, int(np.ceil(np.log2(max(wp - pkt_len, 2)))))
-    for j in range(nbits):
+    for j in reversed(range(nbits)):
+        need = pkt_len + (1 << (j + 1)) - 1
+        w = min(wp, -(-need // 128) * 128)
+        if w < sel_r.shape[-1]:
+            sel_r = sel_r[:, :w]
+            sel_i = sel_i[:, :w]
         bit = ((best_lag >> j) & 1).astype(f32)
-        roll_r = pltpu.roll(sel_r, wp - (1 << j), axis=1)
-        roll_i = pltpu.roll(sel_i, wp - (1 << j), axis=1)
+        roll_r = pltpu.roll(sel_r, w - (1 << j), axis=1)
+        roll_i = pltpu.roll(sel_i, w - (1 << j), axis=1)
         sel_r = bit * roll_r + (1.0 - bit) * sel_r
         sel_i = bit * roll_i + (1.0 - bit) * sel_i
 
