@@ -530,13 +530,6 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
     out_ref[:, D + 7:D + 8] = peak
 
 
-def _hunt_decode_kernel(win_ref, mat_ref, wr_ref, wi_ref, pn_ref,
-                        mask_ref, out_ref, *, cyc, **kw):
-    wins = [[win_ref[c, p_] for p_ in range(2)] for c in range(cyc)]
-    _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, mask_ref,
-                      out_ref, cyc=cyc, **kw)
-
-
 def _hunt_decode_decim_kernel(prev_ref, cur_ref, mat_ref, wr_ref,
                               wi_ref, pn_ref, mask_ref, out_ref, *,
                               cyc, wp, off, n_sym, **kw):
@@ -560,103 +553,6 @@ def _hunt_decode_decim_kernel(prev_ref, cur_ref, mat_ref, wr_ref,
                       out_ref, cyc=cyc, wp=wp, off=off, **kw)
 
 
-def fused_hunt_decode(cfg: ModemConfig, windows, *,
-                      descramble: bool = True, block_channels: int = 64,
-                      segs_per_chunk: int = 2, interpret: bool = False):
-    """Fused hunt+extract+decode from transposed hunt windows.
-
-    Args:
-      windows: [cycles, 2, N, Wp] f32 hunt-window planes (TRANSPOSED
-               layout: channel on axis 2), time axis left-padded by
-               eq_length//2 zeros and right-padded so that
-               max_lag + pkt_window <= Wp (same padding contract as
-               ``fused_decode_extract``).
-
-    Returns the ``fused_decode`` stat dict plus "lag" (i32), and
-    "phase_idx" (i32), and "peak" (f32) from the in-kernel hunt.
-    """
-    P = cfg.preamble_length
-    D = cfg.frame_symbols
-    L = cfg.eq_length
-    off = L // 2
-    nfft = cfg.cfo_nfft
-    pkt_len = cfg.pkt_window
-    n_lags = cfg.symbols_per_block
-    n_seg = cfg.corr_segments
-    n_lags_pad = -(-n_lags // 128) * 128
-    cyc, N, Wp = windows.shape[0], windows.shape[2], windows.shape[3]
-    klen = off + n_lags + P - 1
-    assert Wp >= (n_lags - 1) + pkt_len, (Wp, pkt_len)
-    assert Wp >= klen, (Wp, klen)
-    cb = min(block_channels, N)
-    assert N % cb == 0
-    segs_per_chunk = min(segs_per_chunk, n_seg)
-    assert n_seg % segs_per_chunk == 0
-    n_chunks = n_seg // segs_per_chunk
-    csz = segs_per_chunk * n_lags_pad
-    n_out = -(-(D + 8) // 128) * 128
-
-    mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg, P, off)
-    hunt_bf16 = cfg.hunt_dtype == "bf16"
-    mdt = jnp.bfloat16 if hunt_bf16 else jnp.float32
-    mat = jnp.asarray(mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
-                      dtype=mdt)
-
-    wm = _dft_matrix(P, nfft)
-    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
-    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
-    pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
-    if descramble:
-        mask = scramble_dibit_mask()[:D].astype(np.float32)
-    else:
-        mask = np.zeros(D, np.float32)
-    maskj = jnp.asarray(mask.reshape(1, 1, D))
-
-    kern = functools.partial(
-        _hunt_decode_kernel, cyc=cyc, wp=Wp, pkt_len=pkt_len,
-        n_lags=n_lags, n_lags_pad=n_lags_pad,
-        segs_per_chunk=segs_per_chunk, n_chunks=n_chunks, klen=klen,
-        P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
-        peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
-        refit_iters=cfg.ls_refit_iters,
-        refine_iters=cfg.phase_refine_iters, hunt_bf16=hunt_bf16)
-
-    out = pl.pallas_call(
-        kern,
-        grid=(N // cb,),
-        in_specs=[
-            pl.BlockSpec((cyc, 2, cb, Wp), lambda i: (0, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_chunks, klen, csz), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((cb, n_out), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, n_out), jnp.float32),
-        interpret=interpret,
-    )(windows, mat, wr, wi, pn, maskj)
-
-    return {
-        "dibits": out[:, :D],
-        "matches": out[:, D].astype(jnp.int32),
-        "eq_error": out[:, D + 1],
-        "cfo_hz": out[:, D + 2],
-        "gated": out[:, D + 3] > 0.5,
-        "energy": out[:, D + 4],
-        "lag": out[:, D + 5].astype(jnp.int32),
-        "phase_idx": out[:, D + 6].astype(jnp.int32),
-        "peak": out[:, D + 7],
-    }
-
-
 def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
                             channels: int, descramble: bool = True,
                             block_channels: int = 64,
@@ -676,7 +572,8 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
       channels:  C (the row offset between a block and its
                  predecessor).
 
-    Returns the same stat dict as ``fused_hunt_decode``.
+    Returns the ``fused_decode`` stat dict plus "lag", "phase_idx",
+    and "peak" (i32/i32/f32) from the in-kernel hunt.
     """
     P = cfg.preamble_length
     D = cfg.frame_symbols

@@ -200,7 +200,7 @@ def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
                           out_ref, zr_ref, zi_ref, *, n: int, ntaps: int,
                           cyc: int, n_sym: int, chunk: int, zpad: int,
                           klen_pad: int, inv_scale: float,
-                          transposed: bool):
+                          transposed: bool, debug_no_dots: bool = False):
     """Lane-ALIGNED decimating-matmul front-end.
 
     ``_kernel_decim``'s dot operands were lane slices at offsets
@@ -242,6 +242,20 @@ def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
     if pad:
         zr_ref[:, zpad + n:] = jnp.zeros_like(zr_ref[:, zpad + n:])
         zi_ref[:, zpad + n:] = jnp.zeros_like(zi_ref[:, zpad + n:])
+
+    if debug_no_dots:
+        # mixer-only cost probe: consume z so the stores aren't DCE'd,
+        # skip the decimation matmuls (tools/profile_stages --fe-split)
+        s = jnp.sum((zr_ref[:, :chunk] + zi_ref[:, :chunk]
+                     ).astype(jnp.float32), axis=1,
+                    keepdims=True)                         # [cb, 1]
+        if transposed:
+            out_ref[...] = (jnp.zeros_like(out_ref)
+                            + s[None, None, :, :])
+        else:
+            out_ref[...] = (jnp.zeros_like(out_ref)
+                            + s[:, None, None, :])
+        return
 
     td = tdec_ref[0]                               # [klen_pad, cyc*chunk]
     for p, z_ref in enumerate((zr_ref, zi_ref)):
@@ -288,7 +302,7 @@ def _decim_tap_matrix(alpha: float, ntaps: int, gain: float, cyc: int,
 def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
                          tail_r, tail_i, *, block_channels: int = 256,
                          chunk: int = 128, transposed: bool = False,
-                         aligned: bool = True,
+                         aligned: bool = True, debug_no_dots: bool = False,
                          interpret: bool = False):
     """Fused front-end emitting decimated symbol planes.
 
@@ -299,7 +313,7 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
     and real/imag plane (axis 2), i.e. the hunt-window layout.  With
     ``transposed=True`` the layout is [cycles, 2, C, symbols_per_block]
     instead (channel on the sublane axis): dense VMEM tiles for the
-    fused hunt+decode kernel (ops/decode_pallas.fused_hunt_decode) --
+    fused hunt+decode kernel (ops/decode_pallas.fused_hunt_decode_decim) --
     the channel-major layout sublane-pads its (2, n_sym) tiles 4x.
 
     ``cfg.frontend_dtype`` selects the matmul input precision: "bf16"
@@ -335,7 +349,8 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
         kern = functools.partial(
             _kernel_decim_aligned, n=n, ntaps=ntaps, cyc=cyc,
             n_sym=n_sym, chunk=chunk, zpad=zpad, klen_pad=klen,
-            inv_scale=1.0 / cfg.tx_amplitude, transposed=transposed)
+            inv_scale=1.0 / cfg.tx_amplitude, transposed=transposed,
+            debug_no_dots=debug_no_dots)
         td_cols = cyc * chunk
     else:
         klen = cyc * (chunk - 1) + ntaps

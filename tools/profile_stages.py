@@ -153,7 +153,8 @@ def main() -> None:
             dcur_t, _, _, _, _ = fused_frontend_decim(
                 cfg, pcm.reshape(N, n), ph_r.reshape(N), ph_i.reshape(N),
                 tails_r.reshape(N, halo), tails_i.reshape(N, halo),
-                block_channels=args.fe_block, transposed=True)
+                block_channels=args.fe_block, transposed=True,
+                debug_no_dots=(stage == "mixer"))
             chk = dcur_t[0, 0, :, 0].sum()
             if stage == "full":
                 dprev0_t = jnp.zeros((cyc, 2, C, n_sym), jnp.float32)

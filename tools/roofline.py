@@ -171,7 +171,7 @@ def main() -> None:
     flops_ch = hunt_flops + dft_flops
     bytes_ch = cyc * 2 * 2 * n_sym * 4 + 384 * 4        # prev+cur in + out
     rows.append({
-        "kernel": "fused_hunt_decode (hunt+shift+CFO+LS+decode)",
+        "kernel": "fused_hunt_decode_decim (hunt+shift+CFO+LS+decode)",
         "us_per_block_channel": dt / N * 1e6,
         "gflops": flops_ch * N / dt / 1e9,
         "pct_mxu_bf16": hunt_flops * N / dt / PEAK_BF16 * 100,
