@@ -98,6 +98,33 @@ def test_batch_rx_fused_hunt_matches_unfused():
         assert np.allclose(np.asarray(a.imag), np.asarray(b.imag))
 
 
+def test_batch_rx_on_shipped_golden_vector(golden_raw):
+    """The fused Pallas batch path decodes the reference's shipped
+    10-packet vector (preamble_qpsk_8k.raw) with the same decisions as
+    the XLA production path (10/10 detects; the reference itself
+    detects 3 -- modem/rx_production.py docstring)."""
+    n = -(-len(golden_raw) // CFG.frame_size) + 1
+    buf = np.zeros(n * CFG.frame_size, np.int16)
+    buf[:len(golden_raw)] = golden_raw
+    frames = buf.reshape(n, CFG.frame_size)
+    C = 2
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    _, ob = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=True,
+        block_channels=2, decode_block_channels=2, interpret=True)
+    _, ox = prod_rx_stream(CFG, prod_rx_init(CFG), jnp.asarray(frames),
+                           descramble=True)
+
+    vx = np.asarray(ox.valid)
+    assert vx.sum() == 10
+    for c in range(C):
+        assert np.array_equal(np.asarray(ob.valid[:, c]), vx)
+        assert np.array_equal(np.asarray(ob.bits[:, c])[vx],
+                              np.asarray(ox.bits)[vx])
+
+
 def test_batch_rx_state_carry_across_calls():
     """Splitting the stream into two prod_rx_batch calls (state carried
     between them) decodes identically to one call -- the closed-form

@@ -47,6 +47,10 @@ def main() -> None:
                          "decode kernel); stages: frontend, full")
     ap.add_argument("--fe-block", type=int, default=128)
     ap.add_argument("--decode-block", type=int, default=64)
+    ap.add_argument("--frontend-dtype", default=None,
+                    choices=[None, "bf16", "f32"],
+                    help="override cfg.frontend_dtype (z-buffer/matmul "
+                         "precision A/B)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +60,9 @@ def main() -> None:
     from singlecarrier_tpu.utils.compat import enable_compilation_cache
     enable_compilation_cache()
 
-    from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
+    from singlecarrier_tpu.config import DEFAULT_CONFIG
+    cfg = (DEFAULT_CONFIG.replace(frontend_dtype=args.frontend_dtype)
+           if args.frontend_dtype else DEFAULT_CONFIG)
     from singlecarrier_tpu.modem import prod_rx_init
     from singlecarrier_tpu.modem.rx_production import (
         _decode_out, _extract_packet_planes, _hunt_planes)
