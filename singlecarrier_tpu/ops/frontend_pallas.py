@@ -200,7 +200,7 @@ def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
                           out_ref, zr_ref, zi_ref, *, n: int, ntaps: int,
                           cyc: int, n_sym: int, chunk: int, zpad: int,
                           klen_pad: int, inv_scale: float,
-                          transposed: bool, debug_no_dots: bool = False):
+                          transposed: bool, debug_mode: str = "none"):
     """Lane-ALIGNED decimating-matmul front-end.
 
     ``_kernel_decim``'s dot operands were lane slices at offsets
@@ -236,16 +236,26 @@ def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
     zi_ref[:, :lead] = jnp.zeros_like(zi_ref[:, :lead])
     zr_ref[:, lead:zpad] = tail_ref[:, 0, :].astype(zdt)
     zi_ref[:, lead:zpad] = tail_ref[:, 1, :].astype(zdt)
-    zr_ref[:, zpad:zpad + n] = (x * (pr * tr - pi * ti)).astype(zdt)
-    zi_ref[:, zpad:zpad + n] = (x * (pr * ti + pi * tr)).astype(zdt)
+    if debug_mode == "store_only":
+        # probe: int16 convert + stores, no mixer products
+        zr_ref[:, zpad:zpad + n] = x.astype(zdt)
+        zi_ref[:, zpad:zpad + n] = x.astype(zdt)
+    elif debug_mode == "const_table":
+        # probe: mixer products against scalar constants (isolates the
+        # [1, n] table sublane-broadcast cost)
+        zr_ref[:, zpad:zpad + n] = (x * (pr * 0.6 - pi * 0.8)).astype(zdt)
+        zi_ref[:, zpad:zpad + n] = (x * (pr * 0.8 + pi * 0.6)).astype(zdt)
+    else:
+        zr_ref[:, zpad:zpad + n] = (x * (pr * tr - pi * ti)).astype(zdt)
+        zi_ref[:, zpad:zpad + n] = (x * (pr * ti + pi * tr)).astype(zdt)
     pad = zr_ref.shape[-1] - (zpad + n)
     if pad:
         zr_ref[:, zpad + n:] = jnp.zeros_like(zr_ref[:, zpad + n:])
         zi_ref[:, zpad + n:] = jnp.zeros_like(zi_ref[:, zpad + n:])
 
-    if debug_no_dots:
-        # mixer-only cost probe: consume z so the stores aren't DCE'd,
-        # skip the decimation matmuls (tools/profile_stages --fe-split)
+    if debug_mode != "none":
+        # cost probes: consume z so the stores aren't DCE'd, skip the
+        # decimation matmuls (tools/profile_stages --fused --stages)
         s = jnp.sum((zr_ref[:, :chunk] + zi_ref[:, :chunk]
                      ).astype(jnp.float32), axis=1,
                     keepdims=True)                         # [cb, 1]
@@ -302,7 +312,7 @@ def _decim_tap_matrix(alpha: float, ntaps: int, gain: float, cyc: int,
 def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
                          tail_r, tail_i, *, block_channels: int = 256,
                          chunk: int = 128, transposed: bool = False,
-                         aligned: bool = True, debug_no_dots: bool = False,
+                         aligned: bool = True, debug_mode: str = "none",
                          interpret: bool = False):
     """Fused front-end emitting decimated symbol planes.
 
@@ -350,7 +360,7 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
             _kernel_decim_aligned, n=n, ntaps=ntaps, cyc=cyc,
             n_sym=n_sym, chunk=chunk, zpad=zpad, klen_pad=klen,
             inv_scale=1.0 / cfg.tx_amplitude, transposed=transposed,
-            debug_no_dots=debug_no_dots)
+            debug_mode=debug_mode)
         td_cols = cyc * chunk
     else:
         klen = cyc * (chunk - 1) + ntaps

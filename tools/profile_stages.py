@@ -11,6 +11,13 @@ Times cumulative prefixes of the plane-typed fast path
 
 Differences between consecutive rows give per-stage costs; prints a
 table in us/block-channel (1880 samples).
+
+CAUTION (tunnel dispatch floor): any stage whose per-iter wall lands
+near ~27-32 ms is measuring the tunneled backend's per-dispatch floor,
+not the work -- the "empty" probe stage (grid + output DMA only)
+measures identically to the full front-end at default batch.  Size
+--channels/--blocks so stages of interest exceed ~60 ms, and read
+DELTAS between stages, not absolute prefixes.
 """
 
 from __future__ import annotations
@@ -160,8 +167,12 @@ def main() -> None:
                 cfg, pcm.reshape(N, n), ph_r.reshape(N), ph_i.reshape(N),
                 tails_r.reshape(N, halo), tails_i.reshape(N, halo),
                 block_channels=args.fe_block, transposed=True,
-                debug_no_dots=(stage == "mixer"))
-            chk = dcur_t[0, 0, :, 0].sum()
+                debug_mode=("no_dots" if stage == "mixer" else stage if stage in
+                            ("mixer", "store_only", "const_table")
+                            else "none"))
+            # contiguous-plane reduce: a strided [N]-column checksum
+            # (dcur_t[0,0,:,0]) costs more than the kernel it times
+            chk = dcur_t[0, 0].sum()
             if stage == "full":
                 dprev0_t = jnp.zeros((cyc, 2, C, n_sym), jnp.float32)
                 decim_ext = jnp.concatenate([dprev0_t, dcur_t], axis=2)

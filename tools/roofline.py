@@ -82,13 +82,25 @@ def main() -> None:
     ph_i = jnp.zeros((N,), jnp.float32)
     tails = jnp.zeros((N, halo), jnp.float32)
 
-    @jax.jit
-    def fe(pcm, ph_r, ph_i, t1, t2):
-        d, _, _, _, _ = fused_frontend_decim(
-            cfg, pcm, ph_r, ph_i, t1, t2, block_channels=128)
-        return d[:, 0, 0, :2].sum()
+    # Chained-invocation delta: a single front-end dispatch lands under
+    # the tunnel's ~30 ms dispatch floor (an EMPTY kernel measures the
+    # same), so time K chained invocations vs 1 and take the slope.
+    def fe_chain(k):
+        @jax.jit
+        def fe(pcm, ph_r, ph_i, t1, t2):
+            acc = 0.0
+            pr, pi_ = ph_r, ph_i
+            for _ in range(k):
+                d, _, _, pr, pi_ = fused_frontend_decim(
+                    cfg, pcm, pr, pi_, t1, t2, block_channels=128)
+                acc = acc + d[:, 0, 0, :2].sum()
+            return acc
+        return fe
 
-    dt = timeit(fe, pcm, ph_r, ph_i, tails, tails)
+    KCH = 5
+    t1 = timeit(fe_chain(1), pcm, ph_r, ph_i, tails, tails)
+    tk = timeit(fe_chain(KCH), pcm, ph_r, ph_i, tails, tails)
+    dt = max((tk - t1) / (KCH - 1), 1e-9)
     chunk = 128
     nchunk = -(-n_sym // chunk)
     klen = cyc * (chunk - 1) + cfg.ntaps
