@@ -121,6 +121,10 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
                 if p in assigned:
                     false_detects += 1
                 assigned[p] = (perr, int(fr))
+            else:
+                # a worse-positioned duplicate of an assigned packet is
+                # a false detect too (not silently dropped)
+                false_detects += 1
         detected += len(assigned)
         for p, (_, fr) in assigned.items():
             g = got[t, fr][sl]

@@ -145,8 +145,72 @@ def _equalize_and_slice(cfg: ModemConfig, symbols, max_index, rx_timing):
     return matches, dibits, eof_cost
 
 
+def _equalize_and_slice_blocked(cfg: ModemConfig, symbols, max_index,
+                                rx_timing, block_size: int):
+    """Blocked-scan variant of ``_equalize_and_slice`` (SURVEY.md
+    hard-part #1 / the north star's "blocked scan" restructuring).
+
+    Same contract, but the 159-step serial Kalman recursion becomes
+    ceil(128/B) + ceil(31/B) frozen-coefficient blocks, each one
+    batched filter + ONE information-form RLS update
+    (adaptive/blocked_rls.py).  Numerics differ within a block (frozen
+    vs per-symbol adaptation) -- verified inside the SNR parity bound
+    vs the exact scan in tests/test_blocked_kalman.py.
+    """
+    from ..adaptive.blocked_rls import (blocked_eq_init, data_block,
+                                        train_block)
+
+    L = cfg.eq_length
+    P = cfg.preamble_length
+    D = cfg.data_symbols
+    B = block_size
+    lam_B = float((1.0 / (1.0 + cfg.kalman_q)) ** B)
+    E = cfg.kalman_E
+    pre_real = jnp.asarray(PREAMBLE_VALUES.astype(np.float32))
+
+    st = blocked_eq_init(L, E)
+
+    # ---- training: ceil(P/B) frozen blocks over the known chips ----
+    nb_t = -(-P // B)
+    pad_t = nb_t * B
+    win = lax.dynamic_slice_in_dim(symbols, max_index, pad_t + L - 1)
+    Z = jnp.stack([win[i:i + pad_t] for i in range(L)], axis=-1)
+    refs = jnp.concatenate(
+        [pre_real, jnp.zeros(pad_t - P, jnp.float32)])
+    tmask = (jnp.arange(pad_t) < P).astype(jnp.float32)
+
+    matches = jnp.int32(0)
+    for b in range(nb_t):
+        sl = slice(b * B, (b + 1) * B)
+        st, m = train_block(st, Z[sl], refs[sl], tmask[sl], lam_B, E,
+                            count_post=(b == 0))
+        matches = matches + m
+
+    hit = matches > cfg.match_threshold
+    start = jnp.where(hit, max_index + P, rx_timing)
+
+    # ---- data: ceil(D/B) frozen decision-directed blocks ----
+    nb_d = -(-D // B)
+    pad_d = nb_d * B
+    win_d = lax.dynamic_slice_in_dim(symbols, start, pad_d + L - 1)
+    W = jnp.stack([win_d[i:i + pad_d] for i in range(L)], axis=-1)
+    dmask = (jnp.arange(pad_d) < D).astype(jnp.float32)
+
+    eof_cost = jnp.float32(0.0)
+    dib_parts = []
+    for b in range(nb_d):
+        sl = slice(b * B, (b + 1) * B)
+        st, dib, es = data_block(st, W[sl], dmask[sl], lam_B, E,
+                                 cfg.data_eq_error_gain)
+        dib_parts.append(dib)
+        eof_cost = eof_cost + es
+    dibits = jnp.concatenate(dib_parts, axis=-1)[..., :D]
+
+    return matches, dibits, eof_cost
+
+
 def rx_frame(cfg: ModemConfig, state: RxState, pcm, *,
-             freq_offset: float = 0.0):
+             freq_offset: float = 0.0, blocked: int = 0):
     """Demodulate one frame_size PCM block; returns ``(state, RxOut)``.
 
     Port of qpsk_rx_frame(in, bits) (qpsk.c:133-239) for a single
@@ -156,6 +220,10 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm, *,
       pcm: [frame_size] int16 (or float) passband samples.
       freq_offset: RX carrier offset in Hz (the reference's compile-time
         FOFFSET knob, qpsk.c:67).
+      blocked: 0 = reference-exact per-symbol Kalman scan (parity
+        surface); B > 0 = blocked-scan equalizer with B-symbol frozen
+        blocks (``_equalize_and_slice_blocked``) -- ~B x fewer serial
+        steps, numerics inside the SNR parity bound.
     """
     n_sym = cfg.symbols_per_block
     taps = rrc_taps(cfg.alpha, cfg.ntaps)
@@ -189,8 +257,12 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm, *,
     mean = jnp.take_along_axis(energy, max_index[..., None], axis=-1)[..., 0]
 
     # 5. kalman_reset + train + slice (qpsk.c:186-236).
-    matches, dibits, eof_cost = _equalize_and_slice(
-        cfg, symbols, max_index, state.rx_timing)
+    if blocked:
+        matches, dibits, eof_cost = _equalize_and_slice_blocked(
+            cfg, symbols, max_index, state.rx_timing, blocked)
+    else:
+        matches, dibits, eof_cost = _equalize_and_slice(
+            cfg, symbols, max_index, state.rx_timing)
     hit = matches > cfg.match_threshold
 
     # 6. Descramble: the RX LFSR advances 2 bits per data_eq call in both
@@ -233,14 +305,16 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm, *,
 
 
 def rx_stream(cfg: ModemConfig, state: RxState, pcm_frames, *,
-              freq_offset: float = 0.0):
+              freq_offset: float = 0.0, blocked: int = 0):
     """Demodulate a sequence of frames via lax.scan.
 
     ``pcm_frames``: [n_frames, frame_size].  Returns
-    ``(final_state, RxOut stacked over frames)``.
+    ``(final_state, RxOut stacked over frames)``.  ``blocked`` selects
+    the blocked-scan equalizer (see ``rx_frame``).
     """
     def body(st, pcm):
-        return rx_frame(cfg, st, pcm, freq_offset=freq_offset)
+        return rx_frame(cfg, st, pcm, freq_offset=freq_offset,
+                        blocked=blocked)
 
     return lax.scan(body, state, pcm_frames)
 

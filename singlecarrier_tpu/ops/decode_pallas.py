@@ -40,7 +40,7 @@ from ..dsp.fftops import _dft_matrix
 
 @functools.lru_cache(maxsize=8)
 def _segment_band_matrix_smaj(n_lags: int, n_lags_pad: int, n_seg: int,
-                              p: int, off: int):
+                              p: int, off: int, klen_pad: int = 0):
     """Segment-MAJOR banded correlation matrix for the in-kernel hunt.
 
     B[off + l + s*seg + k, s*n_lags_pad + l] = v[s*seg + k] -- same
@@ -53,11 +53,15 @@ def _segment_band_matrix_smaj(n_lags: int, n_lags_pad: int, n_seg: int,
         never win the argmax over real lags),
       * ``off`` leading zero rows so the matrix contracts directly
         against the left-padded hunt windows (packet alignment pad,
-        modem/rx_production.py prod_rx_batch).
+        modem/rx_production.py prod_rx_batch),
+      * the row (window) axis padded with zero rows to ``klen_pad``
+        (128-multiple) so the kernel's x-operand slice is lane-ALIGNED
+        -- a [:, :505] slice forces a Mosaic relayout roll per plane
+        before every chunk matmul; [:, :512] is free.
     """
     v = PREAMBLE_VALUES.astype(np.float32)
     seg = p // n_seg
-    klen = off + n_lags + p - 1
+    klen = max(off + n_lags + p - 1, klen_pad)
     b = np.zeros((klen, n_seg * n_lags_pad), np.float32)
     for s in range(n_seg):
         chips = v[s * seg:(s + 1) * seg]
@@ -214,13 +218,26 @@ def _decode_kernel(pkt_ref, peak_ref, wr_ref, wi_ref, pn_ref, mask_ref,
                  refit_iters=refit_iters, refine_iters=refine_iters)
 
 
+def _probe_out(out_ref, D, *vals):
+    """Stage-probe epilogue: consume ``vals`` (defeats DCE of the work
+    being timed) and fill the output (tools/profile_stages.py
+    --decode-stages; not used in production)."""
+    out_ref[...] = jnp.zeros_like(out_ref)
+    acc = jnp.zeros_like(out_ref[:, 0:1])
+    for v in vals:
+        acc = acc + (v if v.shape[-1] == 1 else _reduce_last(v))
+    out_ref[:, D:D + 1] = acc
+
+
 def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
                  off, nfft, rs, peak_gate, ls_reg, refit_iters,
-                 refine_iters):
+                 refine_iters, stage: str = "full"):
     """Shared decode body: aligned packet planes -> out_ref stats.
 
     pr0/pi0: [cb, pkt_window] values; peak: [cb, 1]; wr/wi: [P, nfft]
-    DFT planes; pn: [1, P]; m: [1, D] descramble mask.
+    DFT planes; pn: [1, P]; m: [1, D] descramble mask.  ``stage``
+    truncates the body after a named sub-stage (cost attribution
+    probes; "full" = production).
     """
     chips_r = pr0[:, off:off + P]
     chips_i = pi0[:, off:off + P]
@@ -252,6 +269,8 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
     kf = jnp.where(kf > nfft / 2.0, kf - nfft, kf)
     cfo = kf * (rs / nfft)                              # [cb, 1]
     cfo = jnp.where(gated, cfo, 0.0)
+    if stage == "cfo":
+        return _probe_out(out_ref, D, cfo, energy)
 
     # ---- de-rotate the packet ----
     n_all = pr0.shape[-1]
@@ -261,6 +280,8 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
     rsn = jnp.sin(ang)
     pr = pr0 * rc - pi0 * rsn
     pi_ = pr0 * rsn + pi0 * rc
+    if stage == "derot":
+        return _probe_out(out_ref, D, pr, pi_)
 
     # ---- LS train on the preamble (real target pn) ----
     win_r = pr[:, :P + L - 1]
@@ -268,6 +289,8 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
     cr, ci = _fit(win_r, win_i, pn, None, L, ls_reg, P)
     vr, _ = _apply(win_r, win_i, cr, ci, L, P)
     matches = _reduce_last((vr * pn > 0.0).astype(f32))
+    if stage == "train":
+        return _probe_out(out_ref, D, matches, *cr, *ci)
 
     # ---- guarded decision-directed refit on the data ----
     dstart = off + P - (L // 2)
@@ -286,6 +309,8 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
         keep = (m2 >= matches).astype(f32)
         cr = [keep * a + (1.0 - keep) * b for a, b in zip(cr2, cr)]
         ci = [keep * a + (1.0 - keep) * b for a, b in zip(ci2, ci)]
+    if stage == "refit":
+        return _probe_out(out_ref, D, *cr, *ci)
 
     # ---- decode + clamped GUARDED phase/frequency refinement ----
     def _derr(xr, xi):
@@ -324,6 +349,8 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
         keep = (_derr(ar2, ai2) <= _derr(ar, ai)).astype(f32)
         ar = keep * ar2 + (1.0 - keep) * ar
         ai = keep * ai2 + (1.0 - keep) * ai
+    if stage == "refine":
+        return _probe_out(out_ref, D, ar, ai)
 
     dib, hr, hh = _slice_hard(ar, ai)
     mag = _reduce_last(jnp.sqrt(ar * ar + ai * ai)) / D + 1e-9
@@ -426,7 +453,8 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                       mask_ref, out_ref, *, cyc, wp, pkt_len, n_lags,
                       n_lags_pad, segs_per_chunk, n_chunks, klen, P,
                       D, L, off, nfft, rs, peak_gate, ls_reg,
-                      refit_iters, refine_iters, hunt_bf16):
+                      refit_iters, refine_iters, hunt_bf16,
+                      stage: str = "full"):
     """Hunt + extract + decode, fully fused.
 
     Replaces the XLA hunt stage (rx_production._hunt_planes), whose
@@ -490,6 +518,8 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
         best_lag = jnp.where(upd, idx, best_lag)
         best_ph = jnp.where(upd, jnp.int32(c), best_ph)
     peak = 2.0 * best_pk                         # _hunt_planes scaling
+    if stage == "hunt":
+        return _probe_out(out_ref, D, peak, best_lag.astype(jnp.float32))
 
     # ---- extract: phase select + barrel shift (see
     # _decode_extract_kernel for the Mosaic constraints) ----
@@ -517,12 +547,17 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
         roll_i = pltpu.roll(sel_i, w - (1 << j), axis=1)
         sel_r = bit * roll_r + (1.0 - bit) * sel_r
         sel_i = bit * roll_i + (1.0 - bit) * sel_i
+    if stage == "extract":
+        return _probe_out(out_ref, D, sel_r, sel_i)
 
     _decode_core(sel_r[:, :pkt_len], sel_i[:, :pkt_len], peak,
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
-                 refit_iters=refit_iters, refine_iters=refine_iters)
+                 refit_iters=refit_iters, refine_iters=refine_iters,
+                 stage=stage)
+    if stage != "full":
+        return
     # hunt results ride the same fat output (slots D+5..D+7; the core
     # zeroed them above).
     out_ref[:, D + 5:D + 6] = best_lag.astype(f32)
@@ -533,6 +568,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
 def _hunt_decode_decim_kernel(prev_ref, cur_ref, mat_ref, wr_ref,
                               wi_ref, pn_ref, mask_ref, out_ref, *,
                               cyc, wp, off, n_sym, **kw):
+    # (``stage`` rides in **kw to _hunt_decode_core)
     """Hunt+extract+decode reading prev/cur decim blocks directly.
 
     The windows-array interface costs an HBM round trip of a
@@ -557,6 +593,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
                             channels: int, descramble: bool = True,
                             block_channels: int = 64,
                             segs_per_chunk: int = 2,
+                            stage: str = "full",
                             interpret: bool = False):
     """Fused hunt+extract+decode straight from decimated symbol planes.
 
@@ -588,7 +625,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
     cyc = decim_ext.shape[0]
     C = channels
     N = decim_ext.shape[2] - C
-    klen = off + n_lags + P - 1
+    klen = -(-(off + n_lags + P - 1) // 128) * 128   # lane-aligned K
     need = (n_lags - 1) + pkt_len
     wp = -(-max(need, off + 2 * n_sym, klen) // 128) * 128
     cb = min(block_channels, N)
@@ -599,7 +636,8 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
     csz = segs_per_chunk * n_lags_pad
     n_out = -(-(D + 8) // 128) * 128
 
-    mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg, P, off)
+    mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg, P,
+                                       off, klen_pad=klen)
     hunt_bf16 = cfg.hunt_dtype == "bf16"
     mdt = jnp.bfloat16 if hunt_bf16 else jnp.float32
     mat = jnp.asarray(mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
@@ -622,7 +660,8 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
         P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
         peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
-        refine_iters=cfg.phase_refine_iters, hunt_bf16=hunt_bf16)
+        refine_iters=cfg.phase_refine_iters, hunt_bf16=hunt_bf16,
+        stage=stage)
 
     cshift = C // cb
     out = pl.pallas_call(
@@ -648,6 +687,12 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
         out_specs=pl.BlockSpec((cb, n_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, n_out), jnp.float32),
+        # v5e has 128 MB VMEM; Mosaic's default 16 MB scoped limit is
+        # what capped cb at 64 (ROADMAP r2).  Raising it lets cb=128
+        # halve the per-channel cost of the issue-bound scalar chains
+        # (Cholesky/refine) with no numerics change.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(decim_ext, decim_ext, mat, wr, wi, pn, maskj)
 

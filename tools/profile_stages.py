@@ -52,6 +52,12 @@ def main() -> None:
                     help="profile the fully fused batch path "
                          "(transposed front-end + one hunt/extract/"
                          "decode kernel); stages: frontend, full")
+    ap.add_argument("--decode-stages", action="store_true",
+                    help="with --fused: time cumulative IN-KERNEL "
+                         "prefixes of the hunt+decode kernel (probe "
+                         "truncation via decode_pallas stage=): "
+                         "frontend, concat, hunt, extract, cfo, derot, "
+                         "train, refit, refine, full")
     ap.add_argument("--fe-block", type=int, default=128)
     ap.add_argument("--decode-block", type=int, default=64)
     ap.add_argument("--frontend-dtype", default=None,
@@ -148,6 +154,9 @@ def main() -> None:
             _np.complex64)
         cyc = cfg.cycles
 
+        decode_stages = ("hunt", "extract", "cfo", "derot", "train",
+                         "refit", "refine", "full")
+
         @jax.jit
         def step(st0, pcm):
             p0r, p0i, t0r, t0i, dprev0 = st0
@@ -167,20 +176,25 @@ def main() -> None:
                 cfg, pcm.reshape(N, n), ph_r.reshape(N), ph_i.reshape(N),
                 tails_r.reshape(N, halo), tails_i.reshape(N, halo),
                 block_channels=args.fe_block, transposed=True,
-                debug_mode=("no_dots" if stage == "mixer" else stage if stage in
+                debug_mode=(stage if stage in
                             ("mixer", "store_only", "const_table")
                             else "none"))
             # contiguous-plane reduce: a strided [N]-column checksum
             # (dcur_t[0,0,:,0]) costs more than the kernel it times
             chk = dcur_t[0, 0].sum()
-            if stage == "full":
+            if stage == "concat" or stage in decode_stages:
                 dprev0_t = jnp.zeros((cyc, 2, C, n_sym), jnp.float32)
                 decim_ext = jnp.concatenate([dprev0_t, dcur_t], axis=2)
+            if stage == "concat":
+                chk = chk + decim_ext[0, 0, C].sum()
+            if stage in decode_stages:
                 dec = fused_hunt_decode_decim(
                     cfg, decim_ext, channels=C, descramble=True,
-                    block_channels=min(args.decode_block, N, C))
+                    block_channels=min(args.decode_block, N, C),
+                    stage=stage)
                 chk = (chk + dec["eq_error"].sum()
-                       + dec["lag"].sum().astype(jnp.float32))
+                       + dec["lag"].sum().astype(jnp.float32)
+                       + dec["matches"].sum().astype(jnp.float32))
             return st0, chk
         return step
 
@@ -225,7 +239,10 @@ def main() -> None:
     pcm = synth(jax.random.PRNGKey(0))
 
     stages = (args.stages.split(",") if args.stages
-              else (["frontend", "full"] if args.fused
+              else (["frontend", "concat", "hunt", "extract", "cfo",
+                     "derot", "train", "refit", "refine", "full"]
+                    if (args.fused and args.decode_stages)
+                    else ["frontend", "full"] if args.fused
                     else ["frontend", "hunt", "extract", "full"]))
     results = {}
     for stage in stages:

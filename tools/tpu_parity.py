@@ -197,6 +197,12 @@ def main() -> int:
                     if p in assigned:
                         spurious += 1
                     assigned[p] = (perr, int(fr))
+                else:
+                    # duplicate detection of an already-assigned packet
+                    # that is NOT closer: still a false detect (a
+                    # silently-dropped duplicate left detected >
+                    # expected with false_detects == 0 -- VERDICT r2)
+                    spurious += 1
             for p, (_, fr) in assigned.items():
                 e = int((out.bits[c, fr] != ref[c, p]).sum())
                 err += e
