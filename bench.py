@@ -40,6 +40,12 @@ def main() -> None:
                     help="front-end kernel channel block")
     ap.add_argument("--decode-block", type=int, default=64,
                     help="decode kernel channel block")
+    ap.add_argument("--segs-per-chunk", type=int, default=2,
+                    help="hunt-matmul segments per column chunk")
+    ap.add_argument("--decim-dtype", default=None,
+                    choices=[None, "f32", "bf16"],
+                    help="override cfg.decim_dtype (bf16 halves the "
+                         "decim-plane HBM traffic)")
     ap.add_argument("--real-stream", action="store_true",
                     help="synthesize REAL modulated packet streams "
                          "(every channel detecting) instead of noise; "
@@ -68,6 +74,8 @@ def main() -> None:
     enable_compilation_cache()
 
     from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
+    if args.decim_dtype:
+        cfg = cfg.replace(decim_dtype=args.decim_dtype)
 
     C, B = args.channels, args.blocks
 
@@ -139,7 +147,8 @@ def main() -> None:
         def step(state, pcm):
             st, out = prod_rx_batch(
                 cfg, state, pcm, block_channels=args.fe_block,
-                decode_block_channels=args.decode_block)
+                decode_block_channels=args.decode_block,
+                segs_per_chunk=args.segs_per_chunk)
             return st, (out.valid.sum().astype(jnp.float32)
                         + out.eq_error.sum(),
                         out.valid.sum().astype(jnp.float32))

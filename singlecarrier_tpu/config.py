@@ -68,6 +68,20 @@ class ModemConfig:
                                   # ~-45 dBc quantization floor sits far
                                   # below any operating channel SNR.
                                   # "f32" for bit-conservative parity
+    decim_dtype: str = "f32"      # decimated-plane storage between the
+                                  # front-end and hunt+decode kernels
+                                  # ("f32" | "bf16").  bf16 halves the
+                                  # dominant HBM traffic (the decim
+                                  # planes are written once and read
+                                  # twice per block) at a ~-45 dBc
+                                  # quantization floor; the hunt
+                                  # already consumes them as bf16.
+                                  # f32 default keeps the decode-kernel
+                                  # LS numerics bit-conservative for
+                                  # parity runs; flip to bf16 for
+                                  # throughput deployments (on-chip
+                                  # parity gate: tools/tpu_parity.py
+                                  # --decim-dtype bf16)
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
     phase_refine_iters: int = 3   # GUARDED decision-directed
                                   # phase-ramp passes (each applied

@@ -483,33 +483,35 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
             interpret=interpret)
 
         C = pcm.shape[0]
-        decim_ext = jnp.concatenate([dprev_t, dcur_t], axis=2)
         dec = fused_hunt_decode_decim(
-            cfg, decim_ext, channels=C, descramble=descramble,
+            cfg, dprev_t, dcur_t, channels=C, descramble=descramble,
             block_channels=min(decode_block_channels, C),
             interpret=interpret)
         out = _decode_out(cfg, dec, dec["lag"], dec["phase_idx"],
                           dec["peak"])
         return (npr, npi, ntr, nti, dcur_t), out
 
+    ddt = (jnp.bfloat16 if cfg.decim_dtype == "bf16"
+           else jnp.float32)
     st0 = (state.phase.real, state.phase.imag,
            state.fir_tail.real, state.fir_tail.imag,
            jnp.transpose(
                jnp.stack([state.decim_prev.real, state.decim_prev.imag],
-                         axis=0), (2, 0, 1, 3)))
+                         axis=0), (2, 0, 1, 3)).astype(ddt))
     (npr, npi, ntr, nti, dcur_t), outs = lax.scan(body, st0, pcm_frames)
     final = ProdRxState(
         phase=lax.complex(npr, npi),
         fir_tail=lax.complex(ntr, nti),
         decim_prev=lax.complex(
-            jnp.transpose(dcur_t[:, 0], (1, 0, 2)),
-            jnp.transpose(dcur_t[:, 1], (1, 0, 2))))
+            jnp.transpose(dcur_t[:, 0], (1, 0, 2)).astype(jnp.float32),
+            jnp.transpose(dcur_t[:, 1], (1, 0, 2)).astype(jnp.float32)))
     return final, outs
 
 
 def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
                   descramble: bool = True, block_channels: int = 128,
                   decode_block_channels: int = 64,
+                  segs_per_chunk: int = 2,
                   fuse_extract: bool = True, fuse_hunt: bool = True,
                   interpret: bool = False):
     """Block-PARALLEL batched demod: no scan, no sequential carries.
@@ -594,12 +596,13 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
         dprev0_t = jnp.stack(
             [state.decim_prev.real, state.decim_prev.imag],
             axis=0)                                     # [2, C, cyc, .]
-        dprev0_t = jnp.transpose(dprev0_t, (2, 0, 1, 3))
-        decim_ext = jnp.concatenate([dprev0_t, dcur_t], axis=2)
+        dprev0_t = jnp.transpose(dprev0_t, (2, 0, 1, 3)).astype(
+            dcur_t.dtype)
 
         dec = fused_hunt_decode_decim(
-            cfg, decim_ext, channels=C, descramble=descramble,
+            cfg, dprev0_t, dcur_t, channels=C, descramble=descramble,
             block_channels=min(decode_block_channels, N, C),
+            segs_per_chunk=segs_per_chunk,
             interpret=interpret)
         lag, phase_idx = dec["lag"], dec["phase_idx"]
         peak = dec["peak"]
@@ -617,8 +620,10 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
             phase=lax.complex(fr / mag, fi / mag),
             fir_tail=lax.complex(tl_r[-1], tl_i[-1]),
             decim_prev=lax.complex(
-                jnp.transpose(dlast[:, 0], (1, 0, 2)),
-                jnp.transpose(dlast[:, 1], (1, 0, 2)))), out
+                jnp.transpose(dlast[:, 0], (1, 0, 2)).astype(
+                    jnp.float32),
+                jnp.transpose(dlast[:, 1], (1, 0, 2)).astype(
+                    jnp.float32))), out
 
     dcur, _, _, _, _ = fused_frontend_decim(
         cfg, pcm_frames.reshape(N, n),

@@ -225,6 +225,7 @@ def _probe_out(out_ref, D, *vals):
     out_ref[...] = jnp.zeros_like(out_ref)
     acc = jnp.zeros_like(out_ref[:, 0:1])
     for v in vals:
+        v = v.astype(jnp.float32)
         acc = acc + (v if v.shape[-1] == 1 else _reduce_last(v))
     out_ref[:, D:D + 1] = acc
 
@@ -326,6 +327,7 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
     a_max = np.float32(np.pi / 8.0)
     b_max = np.float32(np.pi / 8.0 / D)
     kd = lax.broadcasted_iota(jnp.int32, (1, D), 1).astype(f32)
+    cur_err = _derr(ar, ai) if refine_iters else None
     for _ in range(refine_iters):
         dib, hr, hh = _slice_hard(ar, ai)
         zr = ar * hr + ai * hh
@@ -345,8 +347,13 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
         c2, s2 = _cossin_small(ang2)
         ar2, ai2 = ar * c2 - ai * s2, ar * s2 + ai * c2
         # guard: unguarded iteration accumulates estimator noise
-        # (+0.7 dB at 2 iters; see ls_equalizer.phase_refine)
-        keep = (_derr(ar2, ai2) <= _derr(ar, ai)).astype(f32)
+        # (+0.7 dB at 2 iters; see ls_equalizer.phase_refine).  The
+        # kept metric carries across iterations (recomputing
+        # _derr(ar, ai) per pass is redundant -- it equals whichever
+        # of new/cur survived the previous guard).
+        new_err = _derr(ar2, ai2)
+        keep = (new_err <= cur_err).astype(f32)
+        cur_err = keep * new_err + (1.0 - keep) * cur_err
         ar = keep * ar2 + (1.0 - keep) * ar
         ai = keep * ai2 + (1.0 - keep) * ai
     if stage == "refine":
@@ -523,10 +530,11 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
 
     # ---- extract: phase select + barrel shift (see
     # _decode_extract_kernel for the Mosaic constraints) ----
-    sel_r = jnp.zeros((cb, wp), f32)
-    sel_i = jnp.zeros((cb, wp), f32)
+    wdt = wins[0][0].dtype
+    sel_r = jnp.zeros((cb, wp), wdt)
+    sel_i = jnp.zeros((cb, wp), wdt)
     for k in range(cyc):
-        mk = (best_ph == k).astype(f32)
+        mk = (best_ph == k).astype(wdt)
         sel_r = sel_r + mk * wins[k][0]
         sel_i = sel_i + mk * wins[k][1]
 
@@ -542,7 +550,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
         if w < sel_r.shape[-1]:
             sel_r = sel_r[:, :w]
             sel_i = sel_i[:, :w]
-        bit = ((best_lag >> j) & 1).astype(f32)
+        bit = ((best_lag >> j) & 1).astype(wdt)
         roll_r = pltpu.roll(sel_r, w - (1 << j), axis=1)
         roll_i = pltpu.roll(sel_i, w - (1 << j), axis=1)
         sel_r = bit * roll_r + (1.0 - bit) * sel_r
@@ -550,7 +558,8 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
     if stage == "extract":
         return _probe_out(out_ref, D, sel_r, sel_i)
 
-    _decode_core(sel_r[:, :pkt_len], sel_i[:, :pkt_len], peak,
+    _decode_core(sel_r[:, :pkt_len].astype(jnp.float32),
+                 sel_i[:, :pkt_len].astype(jnp.float32), peak,
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
@@ -565,32 +574,52 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
     out_ref[:, D + 7:D + 8] = peak
 
 
-def _hunt_decode_decim_kernel(prev_ref, cur_ref, mat_ref, wr_ref,
-                              wi_ref, pn_ref, mask_ref, out_ref, *,
-                              cyc, wp, off, n_sym, **kw):
+def _hunt_decode_decim_kernel(prev0_ref, curprev_ref, cur_ref, mat_ref,
+                              wr_ref, wi_ref, pn_ref, mask_ref,
+                              out_ref, *, cyc, wp, off, n_sym,
+                              cshift, **kw):
     # (``stage`` rides in **kw to _hunt_decode_core)
     """Hunt+extract+decode reading prev/cur decim blocks directly.
 
     The windows-array interface costs an HBM round trip of a
     [cyc, 2, N, Wp] array that is ~26% zero padding and duplicates
     every decim block twice (as `cur` of its own window and `prev` of
-    the next).  Here the caller passes the SAME [cyc, 2, N+C, n_sym]
-    extended decim array under two BlockSpecs offset by C rows (prev =
-    rows k, cur = rows k+C), and the [cb, Wp] window planes are
-    assembled in VMEM by lane concatenation.
+    the next).  Here prev/cur stay SEPARATE operands (concatenating
+    them into one [cyc, 2, N+C, n_sym] array costs a full extra HBM
+    round trip of the decim planes, ~0.04 us/blk-ch):
+
+      * ``cur``     = decim_cur block i;
+      * ``curprev`` = decim_cur block max(i - cshift, 0) -- element
+        k's previous block is element k - C of the same batch;
+      * ``prev0``   = the carried decim_prev state, block
+        min(i, cshift - 1) -- the previous block of the FIRST C
+        elements.
+
+    The clamped index maps make the off-range fetches revisit a
+    constant block (Mosaic skips the re-fetch), and the kernel
+    selects per grid step with a scalar predicate.  The [cb, Wp]
+    window planes are assembled in VMEM by lane concatenation.
     """
-    cb = prev_ref.shape[2]
-    zoff = jnp.zeros((cb, off), jnp.float32)
-    zpad = jnp.zeros((cb, wp - off - 2 * n_sym), jnp.float32)
+    cb = cur_ref.shape[2]
+    use_state = pl.program_id(0) < cshift
+    wdt = cur_ref.dtype       # f32, or bf16 (cfg.decim_dtype) -- the
+    # window planes stay in storage dtype through phase select and
+    # barrel shift (pure selection, exact in any dtype); _decode_core
+    # receives f32
+    zoff = jnp.zeros((cb, off), wdt)
+    zpad = jnp.zeros((cb, wp - off - 2 * n_sym), wdt)
     wins = [[jnp.concatenate(
-                [zoff, prev_ref[c, p_], cur_ref[c, p_], zpad], axis=-1)
+                [zoff,
+                 jnp.where(use_state, prev0_ref[c, p_],
+                           curprev_ref[c, p_]),
+                 cur_ref[c, p_], zpad], axis=-1)
              for p_ in range(2)] for c in range(cyc)]
     _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, mask_ref,
                       out_ref, cyc=cyc, wp=wp, off=off, **kw)
 
 
-def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
-                            channels: int, descramble: bool = True,
+def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
+                            *, channels: int, descramble: bool = True,
                             block_channels: int = 64,
                             segs_per_chunk: int = 2,
                             stage: str = "full",
@@ -598,15 +627,18 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
     """Fused hunt+extract+decode straight from decimated symbol planes.
 
     Args:
-      decim_ext: [cycles, 2, N + channels, n_sym] f32 -- the carried
-                 previous-block decim planes for every channel
-                 (``channels`` rows) followed by the batch's decim
-                 planes in (block-major, channel) order, i.e. element
-                 k's previous block is row k and its own block is row
-                 k + channels.  No padding, no duplication: the hunt
-                 windows are assembled in VMEM (see
-                 ``_hunt_decode_decim_kernel``).
-      channels:  C (the row offset between a block and its
+      decim_prev0: [cycles, 2, channels, n_sym] f32 -- the carried
+                 previous-block decim planes of the first C batch
+                 elements (the stream state entering this dispatch).
+      decim_cur: [cycles, 2, N, n_sym] f32 -- the batch's decim planes
+                 in (block-major, channel) order: element k's previous
+                 block is element k - channels (k >= channels) or
+                 decim_prev0 row k (k < channels).  The two arrays are
+                 consumed as separate operands with clamped index maps
+                 (concatenating them costs a full extra HBM round trip
+                 of the planes); the hunt windows are assembled in
+                 VMEM (see ``_hunt_decode_decim_kernel``).
+      channels:  C (the element offset between a block and its
                  predecessor).
 
     Returns the ``fused_decode`` stat dict plus "lag", "phase_idx",
@@ -622,9 +654,10 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
     n_seg = cfg.corr_segments
     n_sym = cfg.symbols_per_block
     n_lags_pad = -(-n_lags // 128) * 128
-    cyc = decim_ext.shape[0]
+    cyc = decim_cur.shape[0]
     C = channels
-    N = decim_ext.shape[2] - C
+    N = decim_cur.shape[2]
+    assert decim_prev0.shape[2] == C, (decim_prev0.shape, C)
     klen = -(-(off + n_lags + P - 1) // 128) * 128   # lane-aligned K
     need = (n_lags - 1) + pkt_len
     wp = -(-max(need, off + 2 * n_sym, klen) // 128) * 128
@@ -653,8 +686,10 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
         mask = np.zeros(D, np.float32)
     maskj = jnp.asarray(mask.reshape(1, 1, D))
 
+    cshift = C // cb
     kern = functools.partial(
         _hunt_decode_decim_kernel, cyc=cyc, wp=wp, n_sym=n_sym,
+        cshift=cshift,
         pkt_len=pkt_len, n_lags=n_lags, n_lags_pad=n_lags_pad,
         segs_per_chunk=segs_per_chunk, n_chunks=n_chunks, klen=klen,
         P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
@@ -663,15 +698,17 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
         refine_iters=cfg.phase_refine_iters, hunt_bf16=hunt_bf16,
         stage=stage)
 
-    cshift = C // cb
     out = pl.pallas_call(
         kern,
         grid=(N // cb,),
         in_specs=[
-            pl.BlockSpec((cyc, 2, cb, n_sym), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((cyc, 2, cb, n_sym),
+                         lambda i: (0, 0, jnp.minimum(i, cshift - 1), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cyc, 2, cb, n_sym),
-                         lambda i: (0, 0, i + cshift, 0),
+                         lambda i: (0, 0, jnp.maximum(i - cshift, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cyc, 2, cb, n_sym), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_chunks, klen, csz), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -694,7 +731,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_ext, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(decim_ext, decim_ext, mat, wr, wi, pn, maskj)
+    )(decim_prev0, decim_cur, decim_cur, mat, wr, wi, pn, maskj)
 
     return {
         "dibits": out[:, :D],

@@ -190,10 +190,11 @@ def _kernel_decim(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref, out_ref,
                 y = jnp.dot(z_ref[:, start:start + klen], td,
                             preferred_element_type=jnp.float32)
                 w = min(chunk, n_sym - b * chunk)
+                ys = y[:, :w].astype(out_ref.dtype)
                 if transposed:
-                    out_ref[c, p, :, b * chunk:b * chunk + w] = y[:, :w]
+                    out_ref[c, p, :, b * chunk:b * chunk + w] = ys
                 else:
-                    out_ref[:, c, p, b * chunk:b * chunk + w] = y[:, :w]
+                    out_ref[:, c, p, b * chunk:b * chunk + w] = ys
 
 
 def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
@@ -258,7 +259,7 @@ def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
         # decimation matmuls (tools/profile_stages --fused --stages)
         s = jnp.sum((zr_ref[:, :chunk] + zi_ref[:, :chunk]
                      ).astype(jnp.float32), axis=1,
-                    keepdims=True)                         # [cb, 1]
+                    keepdims=True).astype(out_ref.dtype)   # [cb, 1]
         if transposed:
             out_ref[...] = (jnp.zeros_like(out_ref)
                             + s[None, None, :, :])
@@ -275,7 +276,7 @@ def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
                         preferred_element_type=jnp.float32)
             w = min(chunk, n_sym - b * chunk)
             for c in range(cyc):
-                ys = y[:, c * chunk:c * chunk + w]
+                ys = y[:, c * chunk:c * chunk + w].astype(out_ref.dtype)
                 if transposed:
                     out_ref[c, p, :, b * chunk:b * chunk + w] = ys
                 else:
@@ -375,11 +376,15 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
             transposed=transposed)
         td_cols = chunk
 
+    # decim_dtype applies to the TRANSPOSED (fused hunt+decode) path
+    # only; the plane-major layout feeds XLA consumers that expect f32.
+    odt = (jnp.bfloat16 if (cfg.decim_dtype == "bf16" and transposed)
+           else jnp.float32)
     if transposed:
         out_spec = pl.BlockSpec((cyc, 2, cb, n_sym),
                                 lambda i: (0, 0, i, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((cyc, 2, C, n_sym), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((cyc, 2, C, n_sym), odt)
     else:
         out_spec = pl.BlockSpec((cb, cyc, 2, n_sym),
                                 lambda i: (i, 0, 0, 0),

@@ -56,7 +56,7 @@ def main() -> None:
                     help="with --fused: time cumulative IN-KERNEL "
                          "prefixes of the hunt+decode kernel (probe "
                          "truncation via decode_pallas stage=): "
-                         "frontend, concat, hunt, extract, cfo, derot, "
+                         "frontend, hunt, extract, cfo, derot, "
                          "train, refit, refine, full")
     ap.add_argument("--fe-block", type=int, default=128)
     ap.add_argument("--decode-block", type=int, default=64)
@@ -182,14 +182,10 @@ def main() -> None:
             # contiguous-plane reduce: a strided [N]-column checksum
             # (dcur_t[0,0,:,0]) costs more than the kernel it times
             chk = dcur_t[0, 0].sum()
-            if stage == "concat" or stage in decode_stages:
-                dprev0_t = jnp.zeros((cyc, 2, C, n_sym), jnp.float32)
-                decim_ext = jnp.concatenate([dprev0_t, dcur_t], axis=2)
-            if stage == "concat":
-                chk = chk + decim_ext[0, 0, C].sum()
             if stage in decode_stages:
+                dprev0_t = jnp.zeros((cyc, 2, C, n_sym), jnp.float32)
                 dec = fused_hunt_decode_decim(
-                    cfg, decim_ext, channels=C, descramble=True,
+                    cfg, dprev0_t, dcur_t, channels=C, descramble=True,
                     block_channels=min(args.decode_block, N, C),
                     stage=stage)
                 chk = (chk + dec["eq_error"].sum()
@@ -239,7 +235,7 @@ def main() -> None:
     pcm = synth(jax.random.PRNGKey(0))
 
     stages = (args.stages.split(",") if args.stages
-              else (["frontend", "concat", "hunt", "extract", "cfo",
+              else (["frontend", "hunt", "extract", "cfo",
                      "derot", "train", "refit", "refine", "full"]
                     if (args.fused and args.decode_stages)
                     else ["frontend", "full"] if args.fused

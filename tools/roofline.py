@@ -171,7 +171,8 @@ def main() -> None:
 
     @jax.jit
     def hdec(w):
-        d = fused_hunt_decode_decim(cfg, w, channels=N,
+        d = fused_hunt_decode_decim(cfg, w[:, :, :N], w[:, :, N:],
+                                    channels=N,
                                     block_channels=min(64, N))
         return d["eq_error"].sum() + d["lag"].sum().astype(jnp.float32)
 

@@ -59,6 +59,18 @@ def main() -> int:
                          "decode-kernel numerics bisection)")
     ap.add_argument("--refine-iters", type=int, default=None,
                     help="override cfg.phase_refine_iters (both paths)")
+    ap.add_argument("--decim-dtype", default=None,
+                    choices=[None, "f32", "bf16"],
+                    help="override cfg.decim_dtype for the Pallas "
+                         "paths (bf16 decim-plane carry gate)")
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="override cfg.alpha (0.50 = the reference's "
+                         "firwide build, qpsk.c:57-65) -- hardens the "
+                         "wide-filter config on hardware")
+    ap.add_argument("--frac-timing", action="store_true",
+                    help="enable cfg.frac_timing (sub-sample timing "
+                         "path; exercises the complex-carry Pallas "
+                         "scan body on hardware)")
     ap.add_argument("--xla-precision", default=None,
                     choices=[None, "default", "highest", "float32"],
                     help="matmul precision for the XLA oracle path "
@@ -81,6 +93,12 @@ def main() -> int:
         cfg = cfg.replace(ls_refit_iters=args.refit_iters)
     if args.refine_iters is not None:
         cfg = cfg.replace(phase_refine_iters=args.refine_iters)
+    if args.alpha is not None:
+        cfg = cfg.replace(alpha=args.alpha)
+    if args.frac_timing:
+        cfg = cfg.replace(frac_timing=True)
+    if args.decim_dtype:
+        cfg = cfg.replace(decim_dtype=args.decim_dtype)
     from singlecarrier_tpu.modem import prod_rx_init, tx_stream
     from singlecarrier_tpu.modem.rx_production import (
         prod_rx_batch, prod_rx_stream, prod_rx_stream_pallas)
@@ -165,6 +183,9 @@ def main() -> int:
         "device": str(jax.devices()[0]),
         "channels": C, "packets": args.packets, "blocks": n_blocks,
         "snr_db": args.snr_db, "freq_hz": args.freq_hz,
+        "alpha": cfg.alpha, "frac_timing": cfg.frac_timing,
+        "frontend_dtype": cfg.frontend_dtype,
+        "decim_dtype": cfg.decim_dtype,
         "xla_packets_detected": int(out_x.valid.sum()),
         "expected_packets": C * args.packets,
         "paths": {},
