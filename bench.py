@@ -32,7 +32,11 @@ def main() -> None:
     # Large batch per dispatch: the tunneled dev environment has a
     # ~30 ms per-dispatch floor that must be amortized to measure the
     # device (production deployments dispatch locally/async).
-    ap.add_argument("--channels", type=int, default=16384)
+    ap.add_argument("--channels", type=int, default=None,
+                    help="default: 65536 (production; with 8 blocks = "
+                         "the 524k block-channel HBM-limited operating "
+                         "point, SCALING.md), 16384 (production-scan), "
+                         "1024 (faithful modes)")
     ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=2)
@@ -74,6 +78,16 @@ def main() -> None:
     enable_compilation_cache()
 
     from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
+    if args.channels is None:
+        args.channels = {"production": 65536,
+                         "production-scan": 16384,
+                         "faithful": 1024,
+                         "faithful-blocked": 1024}[args.mode]
+    if args.decim_dtype is None and args.mode == "production":
+        # headline operating point: bf16 decim carry halves the plane
+        # footprint (523k block-channels/dispatch fits HBM; SCALING.md)
+        # -- decode parity pinned on-chip in PARITY_TPU_BF16.json
+        args.decim_dtype = "bf16"
     if args.decim_dtype:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
 

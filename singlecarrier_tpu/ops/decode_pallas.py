@@ -529,14 +529,15 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
         return _probe_out(out_ref, D, peak, best_lag.astype(jnp.float32))
 
     # ---- extract: phase select + barrel shift (see
-    # _decode_extract_kernel for the Mosaic constraints) ----
-    wdt = wins[0][0].dtype
-    sel_r = jnp.zeros((cb, wp), wdt)
-    sel_i = jnp.zeros((cb, wp), wdt)
+    # _decode_extract_kernel for the Mosaic constraints).  Always f32:
+    # Mosaic's lane rotate is 32-bit-only ("Rotate with non-32-bit
+    # data" -- bf16 wins are converted here, in VMEM) ----
+    sel_r = jnp.zeros((cb, wp), f32)
+    sel_i = jnp.zeros((cb, wp), f32)
     for k in range(cyc):
-        mk = (best_ph == k).astype(wdt)
-        sel_r = sel_r + mk * wins[k][0]
-        sel_i = sel_i + mk * wins[k][1]
+        mk = (best_ph == k).astype(f32)
+        sel_r = sel_r + mk * wins[k][0].astype(f32)
+        sel_i = sel_i + mk * wins[k][1].astype(f32)
 
     # Progressive-narrowing barrel shift, MSB first: before processing
     # bit j the remaining shift is <= 2^(j+1)-1, so only the first
@@ -550,7 +551,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
         if w < sel_r.shape[-1]:
             sel_r = sel_r[:, :w]
             sel_i = sel_i[:, :w]
-        bit = ((best_lag >> j) & 1).astype(wdt)
+        bit = ((best_lag >> j) & 1).astype(f32)
         roll_r = pltpu.roll(sel_r, w - (1 << j), axis=1)
         roll_i = pltpu.roll(sel_i, w - (1 << j), axis=1)
         sel_r = bit * roll_r + (1.0 - bit) * sel_r
@@ -558,8 +559,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
     if stage == "extract":
         return _probe_out(out_ref, D, sel_r, sel_i)
 
-    _decode_core(sel_r[:, :pkt_len].astype(jnp.float32),
-                 sel_i[:, :pkt_len].astype(jnp.float32), peak,
+    _decode_core(sel_r[:, :pkt_len], sel_i[:, :pkt_len], peak,
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,

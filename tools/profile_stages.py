@@ -64,6 +64,9 @@ def main() -> None:
                     choices=[None, "bf16", "f32"],
                     help="override cfg.frontend_dtype (z-buffer/matmul "
                          "precision A/B)")
+    ap.add_argument("--decim-dtype", default=None,
+                    choices=[None, "f32", "bf16"],
+                    help="override cfg.decim_dtype (plane-carry A/B)")
     args = ap.parse_args()
 
     import jax
@@ -74,8 +77,11 @@ def main() -> None:
     enable_compilation_cache()
 
     from singlecarrier_tpu.config import DEFAULT_CONFIG
-    cfg = (DEFAULT_CONFIG.replace(frontend_dtype=args.frontend_dtype)
-           if args.frontend_dtype else DEFAULT_CONFIG)
+    cfg = DEFAULT_CONFIG
+    if args.frontend_dtype:
+        cfg = cfg.replace(frontend_dtype=args.frontend_dtype)
+    if args.decim_dtype:
+        cfg = cfg.replace(decim_dtype=args.decim_dtype)
     from singlecarrier_tpu.modem import prod_rx_init
     from singlecarrier_tpu.modem.rx_production import (
         _decode_out, _extract_packet_planes, _hunt_planes)
