@@ -50,6 +50,15 @@ def main() -> None:
                     choices=[None, "f32", "bf16"],
                     help="override cfg.decim_dtype (bf16 halves the "
                          "decim-plane HBM traffic)")
+    ap.add_argument("--hunt-dtype", default=None,
+                    choices=[None, "bf16", "f32", "int8"],
+                    help="override cfg.hunt_dtype (int8 runs the "
+                         "dominant correlation matmul at the MXU's "
+                         "doubled int8 rate)")
+    ap.add_argument("--ls-gram", default=None,
+                    choices=[None, "direct", "sliding"],
+                    help="override cfg.ls_gram (decode-kernel Gram "
+                         "assembly A/B)")
     ap.add_argument("--real-stream", action="store_true",
                     help="synthesize REAL modulated packet streams "
                          "(every channel detecting) instead of noise; "
@@ -88,8 +97,19 @@ def main() -> None:
         # footprint (523k block-channels/dispatch fits HBM; SCALING.md)
         # -- decode parity pinned on-chip in PARITY_TPU_BF16.json
         args.decim_dtype = "bf16"
+    if args.hunt_dtype is None and args.mode == "production":
+        # int8 hunt: the dominant correlation matmul at the MXU's
+        # doubled int8 rate (3.64 -> 4.18 GS/s).  Quality gate:
+        # PARITY_TPU_INT8.json (0 payload bit diffs, all true packets
+        # detected by both paths; one gate-marginal noise block may
+        # flip -- config.py hunt_dtype docstring)
+        args.hunt_dtype = "int8"
     if args.decim_dtype:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
+    if args.hunt_dtype:
+        cfg = cfg.replace(hunt_dtype=args.hunt_dtype)
+    if args.ls_gram:
+        cfg = cfg.replace(ls_gram=args.ls_gram)
 
     C, B = args.channels, args.blocks
 
@@ -154,11 +174,15 @@ def main() -> None:
 
         state = prod_rx_init(cfg, (C,))
     else:
-        from singlecarrier_tpu.modem import prod_rx_init
+        from singlecarrier_tpu.modem import prod_rx_init_planes
         from singlecarrier_tpu.modem.rx_production import prod_rx_batch
 
         @jax.jit
         def step(state, pcm):
+            # plane-typed state: carried in the fused kernels' exact
+            # layout, so no complex<->plane conversion or GB-scale
+            # transpose appears in the dispatch (rx_production.
+            # prod_rx_init_planes)
             st, out = prod_rx_batch(
                 cfg, state, pcm, block_channels=args.fe_block,
                 decode_block_channels=args.decode_block,
@@ -167,7 +191,7 @@ def main() -> None:
                         + out.eq_error.sum(),
                         out.valid.sum().astype(jnp.float32))
 
-        state = prod_rx_init(cfg, (C,))
+        state = prod_rx_init_planes(cfg, C)
 
     key = jax.random.PRNGKey(0)
     pcm = synth(key)

@@ -61,7 +61,37 @@ class ModemConfig:
     cfo_nfft: int = 256           # zero-padded DFT size for CFO search
     nlms_mu: float = 0.5          # production data-phase NLMS step size
     hunt_dtype: str = "bf16"      # correlation-hunt matmul precision
-                                  # ("bf16" | "f32"); peak statistic only
+                                  # ("bf16" | "f32" | "int8"); peak
+                                  # statistic only.  "int8" quantizes
+                                  # the hunt windows (the PN band
+                                  # matrix is +/-1/0 chips, exactly
+                                  # int8) and runs the dominant
+                                  # correlation matmul at the MXU's
+                                  # doubled int8 rate (+15% pipeline,
+                                  # bench.py's headline operating
+                                  # point); the ~-40 dBc quantization
+                                  # floor is far below the detection
+                                  # statistic's noise at any operating
+                                  # SNR.  bf16 default because round()
+                                  # makes GATE-MARGINAL noise blocks
+                                  # knife-edge sensitive to ulp-level
+                                  # frontend differences: Pallas and
+                                  # XLA frontends can disagree on a
+                                  # sub-threshold false detect (seen:
+                                  # 1 block in 3840, 0 payload bit
+                                  # diffs, 384/384 true packets both
+                                  # paths -- PARITY_TPU_INT8.json), so
+                                  # the bit-conservative parity surface
+                                  # keeps bf16 (gates:
+                                  # tests/test_batch_rx.py int8 cases,
+                                  # tools/tpu_parity.py --hunt-dtype)
+    hunt_int8_scale: float = 16.0  # int8 hunt quantization step:
+                                  # q = clip(round(x*scale), +/-127),
+                                  # representable range +/-7.9 in
+                                  # matched-filter output units (|x|
+                                  # is ~O(1); clipping merely
+                                  # saturates rare noise peaks, to
+                                  # which the correlation is robust)
     frontend_dtype: str = "bf16"  # fused front-end matched-filter matmul
                                   # precision ("bf16" | "f32").  bf16
                                   # runs the MXU at full rate; its
@@ -83,6 +113,16 @@ class ModemConfig:
                                   # parity gate: tools/tpu_parity.py
                                   # --decim-dtype bf16)
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
+    ls_gram: str = "sliding"      # decode-kernel Gram assembly:
+                                  # "sliding" (default) = lag products
+                                  # + prefix-corrected partial sums
+                                  # (~2.5x fewer wide VPU ops, +6% on
+                                  # the headline pipeline); "direct" =
+                                  # L(L+1)/2 independent product+
+                                  # reduce pairs.  Same values up to
+                                  # fp reassociation (decode_pallas.
+                                  # _gram_sliding; equality gated in
+                                  # tests/test_decode_pallas.py)
     phase_refine_iters: int = 3   # GUARDED decision-directed
                                   # phase-ramp passes (each applied
                                   # only where the decision error
@@ -204,6 +244,20 @@ class ModemConfig:
         # guarantees that for gap >= 0 (asserted above); the preamble
         # must also fit inside the 2-block hunt window at the largest
         # searchable lag, i.e. preamble_length <= symbols_per_block.
+        if self.hunt_dtype not in ("bf16", "f32", "int8"):
+            raise ValueError(
+                f"hunt_dtype must be bf16|f32|int8, got {self.hunt_dtype}")
+        if self.frontend_dtype not in ("bf16", "f32"):
+            raise ValueError(
+                f"frontend_dtype must be bf16|f32, got {self.frontend_dtype}")
+        if self.decim_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"decim_dtype must be f32|bf16, got {self.decim_dtype}")
+        if self.hunt_int8_scale <= 0:
+            raise ValueError("hunt_int8_scale must be positive")
+        if self.ls_gram not in ("direct", "sliding"):
+            raise ValueError(
+                f"ls_gram must be direct|sliding, got {self.ls_gram}")
         if self.preamble_length > self.symbols_per_block:
             raise ValueError(
                 f"preamble_length ({self.preamble_length}) must be <= "

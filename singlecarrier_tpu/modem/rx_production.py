@@ -78,6 +78,48 @@ def prod_rx_init(cfg: ModemConfig, batch_shape=()) -> ProdRxState:
     )
 
 
+def prod_rx_init_planes(cfg: ModemConfig, channels: int):
+    """Plane-typed RX state for the fast batch path.
+
+    Layout: ``(phase_r [C], phase_i [C], fir_tail_r [C, ntaps-1],
+    fir_tail_i [C, ntaps-1], decim_prev_t [cyc, 2, C, n_sym])`` with
+    ``decim_prev_t`` in ``cfg.decim_dtype`` -- EXACTLY the layout the
+    fused kernels consume.  Carrying this tuple across ``prod_rx_batch``
+    dispatches skips the complex<->plane conversion and the
+    [C, cyc, n_sym] <-> [cyc, 2, C, n_sym] transposes of ~1 GB-scale
+    state arrays that dominated the non-kernel dispatch cost
+    (measured ~0.05 us/blk-ch at the 524k operating point).
+    """
+    ddt = jnp.bfloat16 if cfg.decim_dtype == "bf16" else jnp.float32
+    return (jnp.ones((channels,), jnp.float32),
+            jnp.zeros((channels,), jnp.float32),
+            jnp.zeros((channels, cfg.ntaps - 1), jnp.float32),
+            jnp.zeros((channels, cfg.ntaps - 1), jnp.float32),
+            jnp.zeros((cfg.cycles, 2, channels, cfg.symbols_per_block),
+                      ddt))
+
+
+def state_to_planes(cfg: ModemConfig, state: ProdRxState):
+    """ProdRxState -> the plane tuple (one-time conversion)."""
+    ddt = jnp.bfloat16 if cfg.decim_dtype == "bf16" else jnp.float32
+    dprev_t = jnp.transpose(
+        jnp.stack([state.decim_prev.real, state.decim_prev.imag],
+                  axis=0), (2, 0, 1, 3)).astype(ddt)
+    return (state.phase.real, state.phase.imag,
+            state.fir_tail.real, state.fir_tail.imag, dprev_t)
+
+
+def planes_to_state(planes) -> ProdRxState:
+    """Plane tuple -> ProdRxState (one-time conversion)."""
+    pr, pi_, tr, ti, dprev_t = planes
+    return ProdRxState(
+        phase=lax.complex(pr, pi_),
+        fir_tail=lax.complex(tr, ti),
+        decim_prev=lax.complex(
+            jnp.transpose(dprev_t[:, 0], (1, 0, 2)).astype(jnp.float32),
+            jnp.transpose(dprev_t[:, 1], (1, 0, 2)).astype(jnp.float32)))
+
+
 @functools.lru_cache(maxsize=8)
 def _segment_band_matrix(n_lags: int, n_segments: int, p: int):
     """Banded correlation matrix B[w, l*n_seg + s] = v[16s + k] at
@@ -102,6 +144,37 @@ def _segment_band_matrix(n_lags: int, n_segments: int, p: int):
     return b
 
 
+def _hunt_corr(cfg: ModemConfig, planes, mat):
+    """Correlation matmul in ``cfg.hunt_dtype`` (shared by the _hunt
+    variants; the Pallas kernel mirrors this math in
+    ops/decode_pallas._hunt_decode_core).
+
+    "int8" quantizes q = clip(round(x*s), +/-127) and contracts
+    against the +/-1/0 chip matrix at the MXU's doubled int8 rate;
+    int32 accumulation is exact, so there is no reassociation at all
+    in the int8 path.  ``planes``: [..., rows, win] f32.
+    """
+    if cfg.hunt_dtype == "int8":
+        s = jnp.float32(cfg.hunt_int8_scale)
+        q = jnp.clip(jnp.round(planes.astype(jnp.float32) * s),
+                     -127.0, 127.0).astype(jnp.int8)
+        return jnp.matmul(q, mat.astype(jnp.int8),
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.float32)
+    dt = jnp.bfloat16 if cfg.hunt_dtype == "bf16" else jnp.float32
+    return jnp.matmul(planes.astype(dt), mat.astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
+def _hunt_power_scale(cfg: ModemConfig) -> float:
+    """2x for the (1+j) chip factor (_segment_band_matrix docstring),
+    /s^2 to undo int8 quantization so peak stays in matched-filter
+    units for the energy gate."""
+    if cfg.hunt_dtype == "int8":
+        return float(2.0 / (cfg.hunt_int8_scale ** 2))
+    return 2.0
+
+
 def _hunt(cfg: ModemConfig, windows):
     """Find the (phase, lag) correlation peak.
 
@@ -124,14 +197,13 @@ def _hunt(cfg: ModemConfig, windows):
     batch_shape = windows.shape[:-2]
     cyc = windows.shape[-2]
     w = windows[..., :n_lags + p - 1]
-    dt = jnp.bfloat16 if cfg.hunt_dtype == "bf16" else jnp.float32
     # real/imag planes: [..., cyc*2, win] @ [win, lags*seg]
-    planes = jnp.stack([w.real, w.imag], axis=-2).astype(dt)
+    planes = jnp.stack([w.real, w.imag], axis=-2)
     planes = planes.reshape(*batch_shape, cyc * 2, -1)
-    corr = jnp.matmul(planes, mat.astype(dt),
-                      preferred_element_type=jnp.float32)
+    corr = _hunt_corr(cfg, planes, mat)
     corr = corr.reshape(*batch_shape, cyc, 2, n_lags, n_seg)
-    power = 2.0 * (corr * corr).sum(axis=(-3, -1))     # [B, cyc, lags]
+    power = _hunt_power_scale(cfg) * (corr * corr).sum(
+        axis=(-3, -1))                                 # [B, cyc, lags]
 
     flat = power.reshape(*batch_shape, -1)
     idx = jnp.argmax(flat, axis=-1)
@@ -358,15 +430,14 @@ def _hunt_planes(cfg: ModemConfig, windows, *, col_offset: int = 0):
     p = cfg.preamble_length
     n_seg = cfg.corr_segments
     mat = jnp.asarray(_segment_band_matrix(n_lags, n_seg, p))
-    dt = jnp.bfloat16 if cfg.hunt_dtype == "bf16" else jnp.float32
 
     C, cyc = windows.shape[0], windows.shape[1]
-    w = windows[..., col_offset:col_offset + n_lags + p - 1].astype(dt)
+    w = windows[..., col_offset:col_offset + n_lags + p - 1]
     planes = w.reshape(C, cyc * 2, -1)
-    corr = jnp.matmul(planes, mat.astype(dt),
-                      preferred_element_type=jnp.float32)
+    corr = _hunt_corr(cfg, planes, mat)
     corr = corr.reshape(C, cyc, 2, n_lags, n_seg)
-    power = 2.0 * (corr * corr).sum(axis=(-3, -1))     # [C, cyc, lags]
+    power = _hunt_power_scale(cfg) * (corr * corr).sum(
+        axis=(-3, -1))                                 # [C, cyc, lags]
 
     flat = power.reshape(C, -1)
     idx = jnp.argmax(flat, axis=-1)
@@ -551,13 +622,27 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     n_sym = cfg.symbols_per_block
     inv_scale = 1.0 / cfg.tx_amplitude
 
+    # ``state`` may be the public complex ProdRxState or the plane
+    # tuple (prod_rx_init_planes); with planes the output state stays
+    # in plane layout too -- carrying planes across dispatches skips
+    # the GB-scale complex<->transposed-plane conversions per call.
+    plane_state = not isinstance(state, ProdRxState)
+    if plane_state:
+        assert fuse_extract and fuse_hunt, \
+            "plane state requires the fully fused path"
+        p0r, p0i, tail0_r, tail0_i, dprev0_t_in = state
+    else:
+        p0r, p0i = state.phase.real, state.phase.imag
+        tail0_r = state.fir_tail.real
+        tail0_i = state.fir_tail.imag
+        dprev0_t_in = None
+
     table = mixer_table(-cfg.center, cfg.fs, n)
     # adv^b for b in [0, B], float64 phase -> exactly-unit complex64
     w = -2.0 * np.pi * cfg.center / cfg.fs
     advs = np.exp(1j * w * n * np.arange(B + 1)).astype(np.complex64)
 
     # phases[b] = phase_0 * adv^b  (planes [B, C])
-    p0r, p0i = state.phase.real, state.phase.imag
     ar = jnp.asarray(advs.real[:B, None])
     ai = jnp.asarray(advs.imag[:B, None])
     ph_r = p0r[None, :] * ar - p0i[None, :] * ai
@@ -570,8 +655,8 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     ti_t = jnp.asarray(table.imag[n - halo:])
     tl_r = x_t * (ph_r[..., None] * tr_t - ph_i[..., None] * ti_t)
     tl_i = x_t * (ph_r[..., None] * ti_t + ph_i[..., None] * tr_t)
-    tails_r = jnp.concatenate([state.fir_tail.real[None], tl_r[:-1]], 0)
-    tails_i = jnp.concatenate([state.fir_tail.imag[None], tl_i[:-1]], 0)
+    tails_r = jnp.concatenate([tail0_r[None], tl_r[:-1]], 0)
+    tails_i = jnp.concatenate([tail0_i[None], tl_i[:-1]], 0)
 
     # ---- one batched front-end over all B*C (block, channel) pairs ----
     N = B * C
@@ -593,11 +678,14 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
             block_channels=min(block_channels, N), transposed=True,
             interpret=interpret)
 
-        dprev0_t = jnp.stack(
-            [state.decim_prev.real, state.decim_prev.imag],
-            axis=0)                                     # [2, C, cyc, .]
-        dprev0_t = jnp.transpose(dprev0_t, (2, 0, 1, 3)).astype(
-            dcur_t.dtype)
+        if plane_state:
+            dprev0_t = dprev0_t_in.astype(dcur_t.dtype)
+        else:
+            dprev0_t = jnp.stack(
+                [state.decim_prev.real, state.decim_prev.imag],
+                axis=0)                                 # [2, C, cyc, .]
+            dprev0_t = jnp.transpose(dprev0_t, (2, 0, 1, 3)).astype(
+                dcur_t.dtype)
 
         dec = fused_hunt_decode_decim(
             cfg, dprev0_t, dcur_t, channels=C, descramble=descramble,
@@ -616,6 +704,8 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
               + p0i * np.float32(advs.real[B]))
         mag = jnp.sqrt(fr * fr + fi * fi)
         dlast = dcur_t[:, :, (B - 1) * C:]              # [cyc, 2, C, .]
+        if plane_state:
+            return (fr / mag, fi / mag, tl_r[-1], tl_i[-1], dlast), out
         return ProdRxState(
             phase=lax.complex(fr / mag, fi / mag),
             fir_tail=lax.complex(tl_r[-1], tl_i[-1]),

@@ -123,14 +123,8 @@ def _solve_chol(A_r, A_i, b_r, b_i, L):
     return x_r, x_i
 
 
-def _fit(pr, pi, target_r, target_i, L, reg, count):
-    """LS fit of sum_i coeff_i * w[t+i] ~ target[t] over t < count.
-
-    pr/pi: [cb, count + L - 1] window planes; target planes [cb, count]
-    (target_i may be None for a real target).  Returns coeff planes.
-    """
-    sl_r = [pr[:, i:i + count] for i in range(L)]
-    sl_i = [pi[:, i:i + count] for i in range(L)]
+def _gram_direct(pr, pi, sl_r, sl_i, L, count):
+    """Gram entries as L*(L+1)/2 independent products + reductions."""
     A_r, A_i = {}, {}
     for i in range(L):
         for j in range(i + 1):
@@ -144,6 +138,63 @@ def _fit(pr, pi, target_r, target_i, L, reg, count):
                                        + sl_i[i] * sl_i[j])
             A_i[(i, j)] = _reduce_last(sl_r[i] * sl_i[j]
                                        - sl_i[i] * sl_r[j])
+    return A_r, A_i
+
+
+def _gram_sliding(pr, pi, L, count):
+    """Gram via lag products + prefix-corrected partial sums (EXACT).
+
+    All entries with the same lag d = i - j sum the SAME lag-product
+    array g_d[u] = conj(w[u]) w[u+d] over shifted windows
+    [j, j+count): compute g_d once (L complex wide products instead of
+    L(L+1)/2), reduce the j=0 window, and step j -> j+1 with two
+    [cb, 1] scalar corrections.  ~2.5x fewer wide VPU ops than
+    ``_gram_direct``; numerically identical up to fp reassociation of
+    the same terms (the parity criterion is decision-level,
+    tools/tpu_parity.py).
+    """
+    W = pr.shape[-1]                                   # count + L - 1
+    A_r, A_i = {}, {}
+    for d in range(L):
+        a_r, a_i = pr[:, :W - d], pi[:, :W - d]
+        b_r, b_i = pr[:, d:], pi[:, d:]
+        # g_d[u] = conj(w[u]) w[u+d]
+        g_r = a_r * b_r + a_i * b_i
+        g_i = (a_r * b_i - a_i * b_r) if d else None
+        s_r = _reduce_last(g_r[:, :count])
+        s_i = _reduce_last(g_i[:, :count]) if d else None
+        # A[(i, j)] with i-j = d: real = +sum g_r, imag = -sum g_i
+        A_r[(d, 0)] = s_r
+        if d:
+            A_i[(d, 0)] = -s_i
+        for j in range(1, L - d):
+            s_r = (s_r - g_r[:, j - 1:j]
+                   + g_r[:, count + j - 1:count + j])
+            A_r[(d + j, j)] = s_r
+            if d:
+                s_i = (s_i - g_i[:, j - 1:j]
+                       + g_i[:, count + j - 1:count + j])
+                A_i[(d + j, j)] = -s_i
+    for i in range(L):
+        # never consumed by _solve_chol (diagonal of a Hermitian Gram
+        # is real); present so both gram methods return the same keys
+        A_i[(i, i)] = jnp.zeros_like(A_r[(i, i)])
+    return A_r, A_i
+
+
+def _fit(pr, pi, target_r, target_i, L, reg, count,
+         gram: str = "direct"):
+    """LS fit of sum_i coeff_i * w[t+i] ~ target[t] over t < count.
+
+    pr/pi: [cb, count + L - 1] window planes; target planes [cb, count]
+    (target_i may be None for a real target).  Returns coeff planes.
+    """
+    sl_r = [pr[:, i:i + count] for i in range(L)]
+    sl_i = [pi[:, i:i + count] for i in range(L)]
+    if gram == "sliding":
+        A_r, A_i = _gram_sliding(pr, pi, L, count)
+    else:
+        A_r, A_i = _gram_direct(pr, pi, sl_r, sl_i, L, count)
     tr_mean = A_r[(0, 0)]
     for i in range(1, L):
         tr_mean = tr_mean + A_r[(i, i)]
@@ -210,12 +261,13 @@ def _slice_hard(ar, ai):
 
 def _decode_kernel(pkt_ref, peak_ref, wr_ref, wi_ref, pn_ref, mask_ref,
                    out_ref, *, P, D, L, off, nfft, rs, peak_gate,
-                   ls_reg, refit_iters, refine_iters):
+                   ls_reg, refit_iters, refine_iters, gram="direct"):
     _decode_core(pkt_ref[:, 0, :], pkt_ref[:, 1, :], peak_ref[:, 0, :],
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
-                 refit_iters=refit_iters, refine_iters=refine_iters)
+                 refit_iters=refit_iters, refine_iters=refine_iters,
+                 gram=gram)
 
 
 def _probe_out(out_ref, D, *vals):
@@ -232,7 +284,8 @@ def _probe_out(out_ref, D, *vals):
 
 def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
                  off, nfft, rs, peak_gate, ls_reg, refit_iters,
-                 refine_iters, stage: str = "full"):
+                 refine_iters, gram: str = "direct",
+                 stage: str = "full"):
     """Shared decode body: aligned packet planes -> out_ref stats.
 
     pr0/pi0: [cb, pkt_window] values; peak: [cb, 1]; wr/wi: [P, nfft]
@@ -287,7 +340,7 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
     # ---- LS train on the preamble (real target pn) ----
     win_r = pr[:, :P + L - 1]
     win_i = pi_[:, :P + L - 1]
-    cr, ci = _fit(win_r, win_i, pn, None, L, ls_reg, P)
+    cr, ci = _fit(win_r, win_i, pn, None, L, ls_reg, P, gram=gram)
     vr, _ = _apply(win_r, win_i, cr, ci, L, P)
     matches = _reduce_last((vr * pn > 0.0).astype(f32))
     if stage == "train":
@@ -304,7 +357,7 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, m, out_ref, *, P, D, L,
         mag_h = _reduce_last(jnp.sqrt(hr * hr + hh * hh)) / D + 1e-12
         scale = mag_raw / mag_h
         cr2, ci2 = _fit(dat_r, dat_i, hr * scale, hh * scale, L,
-                        1e-3, D)
+                        1e-3, D, gram=gram)
         vr2, _ = _apply(win_r, win_i, cr2, ci2, L, P)
         m2 = _reduce_last((vr2 * pn > 0.0).astype(f32))
         keep = (m2 >= matches).astype(f32)
@@ -421,7 +474,7 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
         _decode_kernel, P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
         peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
-        refine_iters=cfg.phase_refine_iters)
+        refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram)
 
     out = pl.pallas_call(
         kern,
@@ -460,7 +513,8 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                       mask_ref, out_ref, *, cyc, wp, pkt_len, n_lags,
                       n_lags_pad, segs_per_chunk, n_chunks, klen, P,
                       D, L, off, nfft, rs, peak_gate, ls_reg,
-                      refit_iters, refine_iters, hunt_bf16,
+                      refit_iters, refine_iters, hunt_mode,
+                      hunt_scale, gram: str = "direct",
                       stage: str = "full"):
     """Hunt + extract + decode, fully fused.
 
@@ -489,19 +543,38 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
     """
     cb = wins[0][0].shape[0]
     f32 = jnp.float32
-    dt = jnp.bfloat16 if hunt_bf16 else f32
+    int8_hunt = hunt_mode == "int8"
+    dt = jnp.bfloat16 if hunt_mode == "bf16" else f32
 
     # ---- hunt: one [cyc*2*cb, klen] matmul per column chunk ----
+    # int8 mode: the band matrix is +/-1/0 PN chips (exactly int8);
+    # quantizing the window operand q = clip(round(x*s), +/-127) runs
+    # the dominant matmul at the MXU's doubled int8 rate.  |corr| <=
+    # 16 chips * 127 fits int32 (even int16); corr^2 <= 2032^2 < 2^24
+    # is EXACT in f32, so the int8 path has no fp reassociation at all
+    # -- Mosaic and the XLA oracle agree bit-for-bit given the same
+    # quantized operands.  The peak statistic is rescaled by 1/s^2 so
+    # the energy gate sees matched-filter units.
     xs = []
     for c in range(cyc):
         for pl_ in range(2):
-            xs.append(wins[c][pl_][:, :klen].astype(dt))
+            w_ = wins[c][pl_][:, :klen]
+            if int8_hunt:
+                q = jnp.clip(jnp.round(w_.astype(f32) * hunt_scale),
+                             -127.0, 127.0)
+                xs.append(q.astype(jnp.int8))
+            else:
+                xs.append(w_.astype(dt))
     x = jnp.concatenate(xs, axis=0)
 
     csz = segs_per_chunk * n_lags_pad
     pw = [jnp.zeros((cb, n_lags_pad), f32) for _ in range(cyc)]
     for ch in range(n_chunks):
-        corr = jnp.dot(x, mat_ref[ch], preferred_element_type=f32)
+        if int8_hunt:
+            corr = jnp.dot(x, mat_ref[ch],
+                           preferred_element_type=jnp.int32).astype(f32)
+        else:
+            corr = jnp.dot(x, mat_ref[ch], preferred_element_type=f32)
         p2 = corr * corr                         # [cyc*2*cb, csz]
         for c in range(cyc):
             blk = (p2[(2 * c) * cb:(2 * c + 1) * cb]
@@ -525,6 +598,9 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
         best_lag = jnp.where(upd, idx, best_lag)
         best_ph = jnp.where(upd, jnp.int32(c), best_ph)
     peak = 2.0 * best_pk                         # _hunt_planes scaling
+    if int8_hunt:
+        # back to matched-filter units for the energy gate
+        peak = peak * np.float32(1.0 / (hunt_scale * hunt_scale))
     if stage == "hunt":
         return _probe_out(out_ref, D, peak, best_lag.astype(jnp.float32))
 
@@ -564,7 +640,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
                  refit_iters=refit_iters, refine_iters=refine_iters,
-                 stage=stage)
+                 gram=gram, stage=stage)
     if stage != "full":
         return
     # hunt results ride the same fat output (slots D+5..D+7; the core
@@ -671,8 +747,8 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
 
     mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg, P,
                                        off, klen_pad=klen)
-    hunt_bf16 = cfg.hunt_dtype == "bf16"
-    mdt = jnp.bfloat16 if hunt_bf16 else jnp.float32
+    mdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+           "int8": jnp.int8}[cfg.hunt_dtype]
     mat = jnp.asarray(mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
                       dtype=mdt)
 
@@ -695,8 +771,8 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
         peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
-        refine_iters=cfg.phase_refine_iters, hunt_bf16=hunt_bf16,
-        stage=stage)
+        refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
+        hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, stage=stage)
 
     out = pl.pallas_call(
         kern,
@@ -750,7 +826,7 @@ def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
                            wi_ref, pn_ref, mask_ref, out_ref, *, cyc,
                            wp, pkt_len, P, D, L, off, nfft, rs,
                            peak_gate, ls_reg, refit_iters,
-                           refine_iters):
+                           refine_iters, gram="direct"):
     """Decode with IN-KERNEL packet extraction.
 
     Replaces the XLA extraction stage (one-hot phase einsum + pad +
@@ -794,7 +870,8 @@ def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
-                 refit_iters=refit_iters, refine_iters=refine_iters)
+                 refit_iters=refit_iters, refine_iters=refine_iters,
+                 gram=gram)
 
 
 def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
@@ -842,7 +919,7 @@ def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
         pkt_len=pkt_len, P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
         peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
-        refine_iters=cfg.phase_refine_iters)
+        refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram)
 
     out = pl.pallas_call(
         kern,

@@ -98,6 +98,57 @@ def test_batch_rx_fused_hunt_matches_unfused():
         assert np.allclose(np.asarray(a.imag), np.asarray(b.imag))
 
 
+def test_batch_rx_int8_hunt_matches_xla_and_decodes():
+    """cfg.hunt_dtype="int8": the quantized-correlation hunt (int8
+    MXU path) must agree with the XLA oracle running the SAME
+    quantized math (int32 accumulation is exact, so fused/unfused
+    decisions are bit-identical), and must still decode the payload
+    -- the ~-40 dBc quantization floor is far below the detection
+    statistic's noise."""
+    cfg = CFG.replace(hunt_dtype="int8")
+    bits, frames = _frames(seed=53)
+    n = len(frames)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    _, out_f = prod_rx_batch(
+        cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, fuse_hunt=True,
+        interpret=True)
+    _, out_u = prod_rx_batch(
+        cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, fuse_hunt=False,
+        interpret=True)
+
+    assert np.array_equal(np.asarray(out_f.valid), np.asarray(out_u.valid))
+    assert np.array_equal(np.asarray(out_f.lag), np.asarray(out_u.lag))
+    assert np.array_equal(np.asarray(out_f.timing_phase),
+                          np.asarray(out_u.timing_phase))
+    v = np.asarray(out_u.valid)
+    assert np.array_equal(np.asarray(out_f.bits)[v],
+                          np.asarray(out_u.bits)[v])
+    # int8 quantization must not change the f32 hunt's DECISIONS on a
+    # clean stream (peak/lag selection is noise-margined)
+    _, out_ref = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, fuse_hunt=True,
+        interpret=True)
+    assert np.array_equal(np.asarray(out_f.valid),
+                          np.asarray(out_ref.valid))
+    assert np.array_equal(np.asarray(out_f.lag), np.asarray(out_ref.lag))
+    # peak statistic back in matched-filter units (1/s^2 rescale).
+    # On a CLEAN repeated stream the round() bias is COHERENT across
+    # chips (every chip of the matched preamble rounds the same way),
+    # giving a deterministic few-% offset -- irrelevant to a detection
+    # statistic gated at 20x energy, so the tolerance is loose.
+    pk_f = np.asarray(out_f.peak)[v]
+    pk_r = np.asarray(out_ref.peak)[v]
+    assert np.allclose(pk_f, pk_r, rtol=0.15)
+    got = np.asarray(out_f.bits[:, 0])[np.asarray(out_f.valid[:, 0])]
+    assert np.array_equal(got, bits.reshape(-1, CFG.bits_per_frame))
+
+
 def test_batch_rx_on_shipped_golden_vector(golden_raw):
     """The fused Pallas batch path decodes the reference's shipped
     10-packet vector (preamble_qpsk_8k.raw) with the same decisions as
@@ -123,6 +174,59 @@ def test_batch_rx_on_shipped_golden_vector(golden_raw):
         assert np.array_equal(np.asarray(ob.valid[:, c]), vx)
         assert np.array_equal(np.asarray(ob.bits[:, c])[vx],
                               np.asarray(ox.bits)[vx])
+
+
+def test_batch_rx_plane_state_matches_complex():
+    """The plane-typed state (prod_rx_init_planes; carried in the
+    fused kernels' exact [cyc, 2, C, n_sym] layout to skip the
+    per-dispatch complex<->plane transposes) decodes identically to
+    the complex ProdRxState, including across a split-stream carry."""
+    from singlecarrier_tpu.modem import (planes_to_state,
+                                         prod_rx_init_planes)
+
+    bits, frames = _frames(seed=59)
+    n = len(frames)
+    C = 2
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    _, out_c = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=2, decode_block_channels=2, interpret=True)
+    st_p, out_p = prod_rx_batch(
+        CFG, prod_rx_init_planes(CFG, C), batch, descramble=False,
+        block_channels=2, decode_block_channels=2, interpret=True)
+
+    assert np.array_equal(np.asarray(out_p.valid), np.asarray(out_c.valid))
+    v = np.asarray(out_c.valid)
+    assert np.array_equal(np.asarray(out_p.bits)[v],
+                          np.asarray(out_c.bits)[v])
+    assert np.array_equal(np.asarray(out_p.lag), np.asarray(out_c.lag))
+    assert isinstance(st_p, tuple) and len(st_p) == 5
+
+    # split-stream carry in plane form == one call
+    cut = n // 2
+    st1, out_a = prod_rx_batch(
+        CFG, prod_rx_init_planes(CFG, C), batch[:cut], descramble=False,
+        block_channels=2, decode_block_channels=2, interpret=True)
+    _, out_b2 = prod_rx_batch(
+        CFG, st1, batch[cut:], descramble=False,
+        block_channels=2, decode_block_channels=2, interpret=True)
+    va = np.concatenate([np.asarray(out_a.valid), np.asarray(out_b2.valid)])
+    ba = np.concatenate([np.asarray(out_a.bits), np.asarray(out_b2.bits)])
+    assert np.array_equal(va, v)
+    assert np.array_equal(ba[v], np.asarray(out_c.bits)[v])
+
+    # plane state converts back to a ProdRxState equal to the complex
+    # carry (decim dtype permitting)
+    st_c, _ = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=2, decode_block_channels=2, interpret=True)
+    st_rt = planes_to_state(st_p)
+    assert np.allclose(np.asarray(st_rt.phase.real),
+                       np.asarray(st_c.phase.real), atol=1e-6)
+    assert np.allclose(np.asarray(st_rt.decim_prev.real),
+                       np.asarray(st_c.decim_prev.real), atol=1e-2)
 
 
 def test_batch_rx_state_carry_across_calls():

@@ -75,6 +75,50 @@ def test_fused_decode_matches_xla_backend():
         assert out["matches"][fr] == ref.matches[fr]
 
 
+def test_sliding_gram_matches_direct():
+    """cfg.ls_gram="sliding" (lag products + prefix-corrected partial
+    sums) is the SAME Gram up to fp reassociation: coefficient planes
+    agree to ~1e-5 relative and all decode decisions are identical."""
+    from singlecarrier_tpu.ops.decode_pallas import _fit
+
+    rng = np.random.default_rng(7)
+    L, count, cb = CFG.eq_length, 128, 8
+    pr = jnp.asarray(rng.normal(size=(cb, count + L - 1)), jnp.float32)
+    pi = jnp.asarray(rng.normal(size=(cb, count + L - 1)), jnp.float32)
+    tr = jnp.asarray(np.sign(rng.normal(size=(1, count))), jnp.float32)
+    cd = _fit(pr, pi, tr, None, L, 1e-4, count, gram="direct")
+    cs = _fit(pr, pi, tr, None, L, 1e-4, count, gram="sliding")
+    for a, b in zip(cd[0] + cd[1], cs[0] + cs[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+    # end-to-end: decisions identical through the fused kernel
+    bits = rng.integers(0, 2, (2, CFG.ns, CFG.data_symbols * 2),
+                        dtype=np.uint8)
+    pcm = np.asarray(tx_stream(CFG, jnp.asarray(bits), flush_gap=True))
+    n = -(-len(pcm) // CFG.frame_size) + 1
+    buf = np.zeros(n * CFG.frame_size, np.int16)
+    buf[:len(pcm)] = pcm
+    frames = jnp.asarray(buf.reshape(n, CFG.frame_size))
+    pkts, peaks, lags = _extract_pkts(frames)
+    outs = {}
+    for g in ("direct", "sliding"):
+        cfg = CFG.replace(ls_gram=g)
+        o = fused_decode(cfg, jnp.asarray(pkts.real),
+                         jnp.asarray(pkts.imag), jnp.asarray(peaks),
+                         descramble=False,
+                         block_channels=pkts.shape[0], interpret=True)
+        outs[g] = jax.tree.map(np.asarray, o)
+    assert np.array_equal(outs["direct"]["gated"],
+                          outs["sliding"]["gated"])
+    assert np.array_equal(outs["direct"]["matches"],
+                          outs["sliding"]["matches"])
+    v = outs["direct"]["gated"] & (
+        outs["direct"]["matches"] > CFG.match_threshold)
+    assert np.array_equal(outs["direct"]["dibits"][v],
+                          outs["sliding"]["dibits"][v])
+
+
 def test_fused_decode_descramble():
     rng = np.random.default_rng(42)
     bits = rng.integers(0, 2, (2, CFG.ns, CFG.data_symbols * 2),

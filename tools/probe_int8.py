@@ -23,7 +23,7 @@ import argparse
 import functools
 import time
 
-import numpy as np
+import numpy as np  # noqa: F401
 
 
 def main() -> None:
@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--n", type=int, default=768)
     ap.add_argument("--chunks", type=int, default=4)
-    ap.add_argument("--grid", type=int, default=512,
+    ap.add_argument("--grid", type=int, default=4096,
                     help="grid steps (channel blocks) per dispatch")
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
@@ -59,17 +59,22 @@ def main() -> None:
                                    preferred_element_type=jnp.float32)
             p2 = corr * corr
             acc = acc + p2[:, :N // 2] + p2[:, N // 2:]
-        o_ref[0] = acc
+        # sublane-reduce so the output stays small (a full [G, M, N/2]
+        # f32 output would be HBM-traffic-dominated at probe scale)
+        o_ref[0] = jnp.sum(acc, axis=0, keepdims=True) + jnp.zeros(
+            (8, N // 2), jnp.float32)
 
     def build(dt):
         idt = (jnp.int8 if dt == "int8"
                else jnp.bfloat16 if dt == "bf16" else jnp.float32)
-        x = jnp.asarray(
-            np.random.default_rng(0).integers(-100, 100, (G, M, K)),
-            dtype=idt)
-        mat = jnp.asarray(
-            np.random.default_rng(1).integers(-1, 2, (CH, K, N)),
-            dtype=idt)
+        # synthesize ON DEVICE: int8 cannot cross host<->device on the
+        # axon tunnel (utils/compat.py)
+        x, mat = jax.jit(lambda k: (
+            jax.random.randint(k, (G, M, K), -100, 100,
+                               jnp.int32).astype(idt),
+            jax.random.randint(jax.random.fold_in(k, 1), (CH, K, N),
+                               -1, 2, jnp.int32).astype(idt),
+        ))(jax.random.PRNGKey(0))
         f = pl.pallas_call(
             functools.partial(kern, dt=dt),
             grid=(G,),
@@ -79,9 +84,9 @@ def main() -> None:
                 pl.BlockSpec((CH, K, N), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, M, N // 2), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, 8, N // 2), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((G, M, N // 2), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((G, 8, N // 2), jnp.float32),
         )
         jf = jax.jit(lambda a, b: f(a, b).sum())
         return jf, x, mat

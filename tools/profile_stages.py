@@ -67,6 +67,12 @@ def main() -> None:
     ap.add_argument("--decim-dtype", default=None,
                     choices=[None, "f32", "bf16"],
                     help="override cfg.decim_dtype (plane-carry A/B)")
+    ap.add_argument("--hunt-dtype", default=None,
+                    choices=[None, "bf16", "f32", "int8"],
+                    help="override cfg.hunt_dtype")
+    ap.add_argument("--ls-gram", default=None,
+                    choices=[None, "direct", "sliding"],
+                    help="override cfg.ls_gram")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +88,10 @@ def main() -> None:
         cfg = cfg.replace(frontend_dtype=args.frontend_dtype)
     if args.decim_dtype:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
+    if args.hunt_dtype:
+        cfg = cfg.replace(hunt_dtype=args.hunt_dtype)
+    if args.ls_gram:
+        cfg = cfg.replace(ls_gram=args.ls_gram)
     from singlecarrier_tpu.modem import prod_rx_init
     from singlecarrier_tpu.modem.rx_production import (
         _decode_out, _extract_packet_planes, _hunt_planes)
@@ -162,6 +172,28 @@ def main() -> None:
 
         decode_stages = ("hunt", "extract", "cfo", "derot", "train",
                          "refit", "refine", "full")
+
+        if stage == "bench":
+            # the REAL prod_rx_batch step incl. all XLA glue the other
+            # stages skip (decim_prev state transposes, _decode_out,
+            # outs materialization) -- delta vs "full" attributes it
+            from singlecarrier_tpu.modem import prod_rx_init
+            from singlecarrier_tpu.modem.rx_production import \
+                prod_rx_batch
+
+            @jax.jit
+            def bench_step(st0, pcm):
+                # state built INSIDE jit: a captured device-resident
+                # complex state becomes a closure constant the lowering
+                # must fetch -- complex64 cannot cross device->host on
+                # this backend (ROADMAP Mosaic/axon lessons)
+                state0 = prod_rx_init(cfg, (C,))
+                st, out = prod_rx_batch(
+                    cfg, state0, pcm, block_channels=args.fe_block,
+                    decode_block_channels=args.decode_block)
+                return st0, (out.valid.sum().astype(jnp.float32)
+                             + out.eq_error.sum())
+            return bench_step
 
         @jax.jit
         def step(st0, pcm):

@@ -59,6 +59,10 @@ def main() -> int:
                          "decode-kernel numerics bisection)")
     ap.add_argument("--refine-iters", type=int, default=None,
                     help="override cfg.phase_refine_iters (both paths)")
+    ap.add_argument("--hunt-dtype", default=None,
+                    choices=[None, "bf16", "f32", "int8"],
+                    help="override cfg.hunt_dtype (int8 = quantized "
+                         "MXU hunt; both paths quantize identically)")
     ap.add_argument("--decim-dtype", default=None,
                     choices=[None, "f32", "bf16"],
                     help="override cfg.decim_dtype for the Pallas "
@@ -99,6 +103,8 @@ def main() -> int:
         cfg = cfg.replace(frac_timing=True)
     if args.decim_dtype:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
+    if args.hunt_dtype:
+        cfg = cfg.replace(hunt_dtype=args.hunt_dtype)
     from singlecarrier_tpu.modem import prod_rx_init, tx_stream
     from singlecarrier_tpu.modem.rx_production import (
         prod_rx_batch, prod_rx_stream, prod_rx_stream_pallas)
@@ -186,6 +192,7 @@ def main() -> int:
         "alpha": cfg.alpha, "frac_timing": cfg.frac_timing,
         "frontend_dtype": cfg.frontend_dtype,
         "decim_dtype": cfg.decim_dtype,
+        "hunt_dtype": cfg.hunt_dtype,
         "xla_packets_detected": int(out_x.valid.sum()),
         "expected_packets": C * args.packets,
         "paths": {},
@@ -195,12 +202,14 @@ def main() -> int:
     ref = bits.reshape(C, args.packets, cfg.bits_per_frame)
 
     def truth_errors(out):
-        """(bit errors, bits counted, false detects, per-block errors)
-        with position-matched dedup (ber.py semantics)."""
+        """(bit errors, bits counted, false detects, per-block errors,
+        assigned true-packet detections) with position-matched dedup
+        (ber.py semantics)."""
         err = 0
         total = 0
         spurious = 0
         per_block = []
+        assigned_all = set()
         for c in range(C):
             vidx = np.nonzero(out.valid[c])[0]
             assigned = {}
@@ -225,14 +234,15 @@ def main() -> int:
                     # expected with false_detects == 0 -- VERDICT r2)
                     spurious += 1
             for p, (_, fr) in assigned.items():
+                assigned_all.add((c, int(fr)))
                 e = int((out.bits[c, fr] != ref[c, p]).sum())
                 err += e
                 total += cfg.bits_per_frame
                 if e:
                     per_block.append((c, int(fr), e))
-        return err, total, spurious, per_block
+        return err, total, spurious, per_block, assigned_all
 
-    err_x, tot_x, spur_x, blocks_x = truth_errors(out_x)
+    err_x, tot_x, spur_x, blocks_x, asg_x = truth_errors(out_x)
     report["xla_bit_errors_vs_truth"] = [err_x, tot_x]
     report["xla_false_detects"] = spur_x
     report["xla_errored_blocks"] = blocks_x[:16]
@@ -255,16 +265,40 @@ def main() -> int:
             if vmask.any() else 0.0
         lag_eq = bool(np.array_equal(out_p.lag[vmask],
                                      out_x.lag[vmask]))
-        err_p, tot_p, spur_p, blocks_p = truth_errors(out_p)
-        # Decision criterion: identical detections + the Pallas path
-        # must decode the TRUE payload at least as well as XLA (bf16
-        # front-end vs f32 may legitimately flip bits that are wrong
-        # in both or marginal; what matters is decoded quality).
-        ok = (v_eq and lag_eq and cfo_d < 0.5
+        err_p, tot_p, spur_p, blocks_p, asg_p = truth_errors(out_p)
+        # When valid differs, classify every differing block: a flip
+        # on a block that is an assigned TRUE-packet detection in
+        # either path is a hard failure (a real miss); a flip on a
+        # gate-marginal NOISE block (false detect present in one path
+        # only) is inherent to any quantizing detector -- round()
+        # makes the energy gate knife-edge sensitive to ulp-level
+        # frontend differences (hunt_dtype="int8", config.py) -- and
+        # is tolerated up to 1 per 1000 blocks, reported explicitly.
+        vdiff = np.argwhere(out_p.valid != out_x.valid)
+        spurious_flips = []
+        true_miss = False
+        for c, fr in vdiff:
+            key = (int(c), int(fr))
+            if key in asg_p or key in asg_x:
+                true_miss = True
+            else:
+                spurious_flips.append(list(key))
+        n_total_blocks = int(out_x.valid.size)
+        v_ok = v_eq or (not true_miss and
+                        len(spurious_flips) <=
+                        max(1, n_total_blocks // 1000))
+        # Decision criterion: identical detections on true packets +
+        # the Pallas path must decode the TRUE payload at least as
+        # well as XLA (bf16 front-end vs f32 may legitimately flip
+        # bits that are wrong in both or marginal; what matters is
+        # decoded quality).
+        ok = (v_ok and lag_eq and cfo_d < 0.5
               and err_p <= err_x + max(8, tot_p // 10000))
         ok_all = ok_all and ok
         report["paths"][name] = {
             "valid_identical": v_eq,
+            "valid_diff_blocks": spurious_flips[:16],
+            "valid_diffs_all_gate_marginal_noise": (not true_miss),
             "bits_identical_on_valid": bits_eq,
             "bit_diffs_vs_xla": nbit_d,
             "blocks_differing_vs_xla": nblk_d,
