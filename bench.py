@@ -202,10 +202,16 @@ def main() -> None:
         state, (chk, nv) = step(state, pcm)
         float(chk)
 
+    # Timed iterations CHAIN asynchronously (each step consumes the
+    # previous state, so the device pipeline stays full) with ONE hard
+    # sync at the end -- the steady-state streaming model.  A per-iter
+    # fetch would serialize a ~30 ms tunnel round trip into every
+    # dispatch (~15% of wall at 5 GS/s), measuring the dev harness,
+    # not the chip.
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, (chk, nv) = step(state, pcm)
-        float(chk)
+    float(chk)                              # hard sync (scalar fetch)
     dt = time.perf_counter() - t0
     detected = int(float(nv))
 
