@@ -59,6 +59,10 @@ def main() -> None:
                     choices=[None, "direct", "sliding"],
                     help="override cfg.ls_gram (decode-kernel Gram "
                          "assembly A/B)")
+    ap.add_argument("--hunt-scheme", default=None,
+                    choices=[None, "chunk", "lagtile"],
+                    help="override cfg.hunt_scheme (hunt matmul "
+                         "schedule A/B)")
     ap.add_argument("--real-stream", action="store_true",
                     help="synthesize REAL modulated packet streams "
                          "(every channel detecting) instead of noise; "
@@ -110,6 +114,8 @@ def main() -> None:
         cfg = cfg.replace(hunt_dtype=args.hunt_dtype)
     if args.ls_gram:
         cfg = cfg.replace(ls_gram=args.ls_gram)
+    if args.hunt_scheme:
+        cfg = cfg.replace(hunt_scheme=args.hunt_scheme)
 
     C, B = args.channels, args.blocks
 

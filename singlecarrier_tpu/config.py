@@ -112,6 +112,21 @@ class ModemConfig:
                                   # throughput deployments (on-chip
                                   # parity gate: tools/tpu_parity.py
                                   # --decim-dtype bf16)
+    hunt_scheme: str = "lagtile"  # in-kernel hunt matmul schedule:
+                                  # "lagtile" (default) = one matmul
+                                  # per 128-lag tile against its K=384
+                                  # aligned window slice -- 1.33x
+                                  # fewer MACs than "chunk"
+                                  # (segment-major column chunks
+                                  # against the full K=512 window),
+                                  # +6% pipeline, identical values
+                                  # (decode_pallas.
+                                  # _segment_band_matrix_lagtile;
+                                  # equality gated in
+                                  # tests/test_batch_rx.py).  Falls
+                                  # back to chunk when the numerology
+                                  # breaks the tile bound (preamble +
+                                  # off > 257)
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
     ls_gram: str = "sliding"      # decode-kernel Gram assembly:
                                   # "sliding" (default) = lag products
@@ -258,6 +273,10 @@ class ModemConfig:
         if self.ls_gram not in ("direct", "sliding"):
             raise ValueError(
                 f"ls_gram must be direct|sliding, got {self.ls_gram}")
+        if self.hunt_scheme not in ("chunk", "lagtile"):
+            raise ValueError(
+                f"hunt_scheme must be chunk|lagtile, got "
+                f"{self.hunt_scheme}")
         if self.preamble_length > self.symbols_per_block:
             raise ValueError(
                 f"preamble_length ({self.preamble_length}) must be <= "

@@ -71,6 +71,39 @@ def _segment_band_matrix_smaj(n_lags: int, n_lags_pad: int, n_seg: int,
     return b
 
 
+@functools.lru_cache(maxsize=8)
+def _segment_band_matrix_lagtile(n_lags: int, n_seg: int, p: int,
+                                 off: int, tile: int = 128,
+                                 kwin: int = 384):
+    """Lag-TILED banded correlation matrices.
+
+    The segment-major band (``_segment_band_matrix_smaj``) contracts
+    every lag against the full K=512 window -- 16 nonzero chips per
+    column out of 512 rows (a 32x im2col inflation, the price of an
+    MXU formulation).  Tiling the lag axis into ``tile``-lag groups
+    shrinks each group's window span to off + (tile-1) + p - 1 <= 257
+    rows -> K=384 aligned: 3 matmuls of [*, 384] x [384, n_seg*tile]
+    instead of chunks of [*, 512], a 1.33x FLOP cut with identical
+    values (int8/int32 accumulation is exact; f32 differs only by
+    reassociation).
+
+    Returns [n_tiles, kwin, n_seg*tile]; tile t's x-operand is the
+    128-aligned window slice [t*tile, t*tile + kwin).
+    """
+    v = PREAMBLE_VALUES.astype(np.float32)
+    seg = p // n_seg
+    n_tiles = -(-n_lags // tile)
+    assert off + (tile - 1) + p - 1 < kwin, (off, tile, p, kwin)
+    b = np.zeros((n_tiles, kwin, n_seg * tile), np.float32)
+    for t in range(n_tiles):
+        for ll in range(min(tile, n_lags - t * tile)):
+            l = t * tile + ll
+            for s in range(n_seg):
+                r0 = off + ll + s * seg
+                b[t, r0:r0 + seg, s * tile + ll] = v[s * seg:(s + 1) * seg]
+    return b
+
+
 def _reduce_last(x):
     return jnp.sum(x, axis=-1, keepdims=True)          # [cb, 1]
 
@@ -515,6 +548,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                       D, L, off, nfft, rs, peak_gate, ls_reg,
                       refit_iters, refine_iters, hunt_mode,
                       hunt_scale, gram: str = "direct",
+                      lag_tiles: int = 0, lag_kwin: int = 384,
                       stage: str = "full"):
     """Hunt + extract + decode, fully fused.
 
@@ -555,10 +589,11 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
     # -- Mosaic and the XLA oracle agree bit-for-bit given the same
     # quantized operands.  The peak statistic is rescaled by 1/s^2 so
     # the energy gate sees matched-filter units.
+    xw = ((lag_tiles - 1) * 128 + lag_kwin) if lag_tiles else klen
     xs = []
     for c in range(cyc):
         for pl_ in range(2):
-            w_ = wins[c][pl_][:, :klen]
+            w_ = wins[c][pl_][:, :xw]
             if int8_hunt:
                 q = jnp.clip(jnp.round(w_.astype(f32) * hunt_scale),
                              -127.0, 127.0)
@@ -567,22 +602,46 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                 xs.append(w_.astype(dt))
     x = jnp.concatenate(xs, axis=0)
 
-    csz = segs_per_chunk * n_lags_pad
-    pw = [jnp.zeros((cb, n_lags_pad), f32) for _ in range(cyc)]
-    for ch in range(n_chunks):
+    def _corr(xt, m):
         if int8_hunt:
-            corr = jnp.dot(x, mat_ref[ch],
+            return jnp.dot(xt, m,
                            preferred_element_type=jnp.int32).astype(f32)
-        else:
-            corr = jnp.dot(x, mat_ref[ch], preferred_element_type=f32)
-        p2 = corr * corr                         # [cyc*2*cb, csz]
-        for c in range(cyc):
-            blk = (p2[(2 * c) * cb:(2 * c + 1) * cb]
-                   + p2[(2 * c + 1) * cb:(2 * c + 2) * cb])
-            acc = pw[c]
-            for s in range(segs_per_chunk):
-                acc = acc + blk[:, s * n_lags_pad:(s + 1) * n_lags_pad]
-            pw[c] = acc
+        return jnp.dot(xt, m, preferred_element_type=f32)
+
+    if lag_tiles:
+        # lag-TILED schedule (_segment_band_matrix_lagtile): per
+        # 128-lag tile, one [cyc*2*cb, kwin] x [kwin, n_seg*128]
+        # matmul on the 128-aligned window slice -- 1.33x fewer MACs
+        # than the full-K chunks; values identical (int8 accumulation
+        # exact).
+        n_seg_t = mat_ref.shape[-1] // 128
+        pw_tiles = [[] for _ in range(cyc)]
+        for t in range(lag_tiles):
+            xt = x[:, t * 128:t * 128 + lag_kwin]
+            p2 = _corr(xt, mat_ref[t])
+            p2 = p2 * p2                         # [cyc*2*cb, seg*128]
+            for c in range(cyc):
+                blk = (p2[(2 * c) * cb:(2 * c + 1) * cb]
+                       + p2[(2 * c + 1) * cb:(2 * c + 2) * cb])
+                acc = blk[:, :128]
+                for s in range(1, n_seg_t):
+                    acc = acc + blk[:, s * 128:(s + 1) * 128]
+                pw_tiles[c].append(acc)
+        pw = [jnp.concatenate(pt, axis=1) for pt in pw_tiles]
+    else:
+        csz = segs_per_chunk * n_lags_pad
+        pw = [jnp.zeros((cb, n_lags_pad), f32) for _ in range(cyc)]
+        for ch in range(n_chunks):
+            corr = _corr(x, mat_ref[ch])
+            p2 = corr * corr                     # [cyc*2*cb, csz]
+            for c in range(cyc):
+                blk = (p2[(2 * c) * cb:(2 * c + 1) * cb]
+                       + p2[(2 * c + 1) * cb:(2 * c + 2) * cb])
+                acc = pw[c]
+                for s in range(segs_per_chunk):
+                    acc = acc + blk[:, s * n_lags_pad:
+                                    (s + 1) * n_lags_pad]
+                pw[c] = acc
 
     # argmax over (phase, lag): per-phase lane argmax + running best
     # with strict > across ascending phases == XLA's first-max flat
@@ -745,12 +804,26 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
     csz = segs_per_chunk * n_lags_pad
     n_out = -(-(D + 8) // 128) * 128
 
-    mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg, P,
-                                       off, klen_pad=klen)
     mdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
            "int8": jnp.int8}[cfg.hunt_dtype]
-    mat = jnp.asarray(mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
-                      dtype=mdt)
+    lag_kwin = 384
+    # lag-tiling needs every tile's band to fit the K window and the
+    # tiled lag count to equal the padded lag axis
+    lag_ok = (cfg.hunt_scheme == "lagtile"
+              and off + 127 + P - 1 < lag_kwin
+              and n_lags_pad % 128 == 0)
+    lag_tiles = n_lags_pad // 128 if lag_ok else 0
+    if lag_ok:
+        mat_np = _segment_band_matrix_lagtile(n_lags, n_seg, P, off,
+                                              tile=128, kwin=lag_kwin)
+        mat = jnp.asarray(mat_np, dtype=mdt)
+        assert wp >= (lag_tiles - 1) * 128 + lag_kwin, wp
+    else:
+        mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg,
+                                           P, off, klen_pad=klen)
+        mat = jnp.asarray(
+            mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
+            dtype=mdt)
 
     wm = _dft_matrix(P, nfft)
     wr = jnp.asarray(wm.real.reshape(1, P, nfft))
@@ -772,7 +845,8 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
-        hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, stage=stage)
+        hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram,
+        lag_tiles=lag_tiles, lag_kwin=lag_kwin, stage=stage)
 
     out = pl.pallas_call(
         kern,
@@ -786,7 +860,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cyc, 2, cb, n_sym), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_chunks, klen, csz), lambda i: (0, 0, 0),
+            pl.BlockSpec(mat.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -176,6 +176,42 @@ def test_batch_rx_on_shipped_golden_vector(golden_raw):
                               np.asarray(ox.bits)[vx])
 
 
+def test_batch_rx_lagtile_hunt_matches_chunk():
+    """cfg.hunt_scheme="lagtile" (one matmul per 128-lag tile against
+    its K=384 aligned window slice, 1.33x fewer MACs) reproduces the
+    chunk schedule's decisions exactly (same correlation values up to
+    f32 reassociation; EXACTLY with int8 accumulation)."""
+    bits, frames = _frames(seed=61)
+    n = len(frames)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    outs = {}
+    for scheme in ("chunk", "lagtile"):
+        for hd in ("bf16", "int8"):
+            cfg = CFG.replace(hunt_scheme=scheme, hunt_dtype=hd)
+            _, o = prod_rx_batch(
+                cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+                block_channels=4, decode_block_channels=4,
+                fuse_hunt=True, interpret=True)
+            outs[(scheme, hd)] = jax.tree.map(np.asarray, o)
+    for hd in ("bf16", "int8"):
+        a, b = outs[("chunk", hd)], outs[("lagtile", hd)]
+        assert np.array_equal(a.valid, b.valid), hd
+        assert np.array_equal(a.lag, b.lag), hd
+        assert np.array_equal(a.timing_phase, b.timing_phase), hd
+        v = a.valid
+        assert np.array_equal(a.bits[v], b.bits[v]), hd
+        if hd == "int8":
+            # int32 accumulation: the peak statistic is bit-identical
+            assert np.array_equal(a.peak, b.peak)
+    got = outs[("lagtile", "int8")]
+    gv = got.valid[:, 0]
+    assert np.array_equal(got.bits[:, 0][gv],
+                          bits.reshape(-1, CFG.bits_per_frame))
+
+
 def test_batch_rx_plane_state_matches_complex():
     """The plane-typed state (prod_rx_init_planes; carried in the
     fused kernels' exact [cyc, 2, C, n_sym] layout to skip the

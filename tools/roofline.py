@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--out", default="ROOFLINE.md")
+    ap.add_argument("--operating-point", action="store_true",
+                    help="use the bench.py headline config (decim "
+                         "bf16 + int8 hunt) instead of the "
+                         "bit-conservative defaults")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +56,8 @@ def main() -> None:
     enable_compilation_cache()
 
     from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
+    if args.operating_point:
+        cfg = cfg.replace(decim_dtype="bf16", hunt_dtype="int8")
     from singlecarrier_tpu.modem.rx_production import (
         _hunt_planes, _segment_band_matrix)
     from singlecarrier_tpu.ops.decode_pallas import fused_decode_extract
@@ -67,11 +73,15 @@ def main() -> None:
     def timeit(fn, *xs):
         # fn must return a SCALAR: float() is the only hard sync on the
         # tunneled backend (block_until_ready returns early there).
+        # Timed iterations enqueue WITHOUT per-iter fetches (one sync
+        # at the end): a per-iter float() bills a ~30 ms tunnel round
+        # trip into every dispatch (bench.py timing note).
         for _ in range(args.warmup):
             float(fn(*xs))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            float(fn(*xs))
+            r = fn(*xs)
+        float(r)
         return (time.perf_counter() - t0) / args.iters
 
     rows = []
