@@ -66,6 +66,12 @@ def main() -> None:
                                 o_ref.dtype) if p == 0 else
                             z2[:, b * 128:(b + 1) * 128].astype(
                                 o_ref.dtype))
+        elif owrite == "flat":
+            # single dense [cb, 10*384] store (the candidate layout:
+            # (cyc, plane) folded into the lane axis at 384-aligned
+            # offsets)
+            o_ref[:, :1920] = (z1[:, :1920] * 1.0).astype(o_ref.dtype)
+            o_ref[:, 1920:] = (z2[:, :1920] * 1.0).astype(o_ref.dtype)
         else:  # broadcast
             o_ref[...] = (jnp.zeros_like(o_ref)
                           + s[None, None, :, :].astype(o_ref.dtype))
@@ -78,6 +84,10 @@ def main() -> None:
             ospec = pl.BlockSpec((1, CB, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
             oshape = jax.ShapeDtypeStruct((G, CB, 128), jnp.float32)
+        elif owrite == "flat":
+            ospec = pl.BlockSpec((CB, 3840), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct((G * CB, 3840), jnp.bfloat16)
         else:
             ospec = pl.BlockSpec((5, 2, CB, 384),
                                  lambda i: (0, 0, i, 0),
@@ -103,6 +113,8 @@ def main() -> None:
             ("int16-in/bf16-store", jnp.int16, jnp.bfloat16, "small"),
             ("int16/bf16/out-slices", jnp.int16, jnp.bfloat16,
              "slices"),
+            ("int16/bf16/out-flat", jnp.int16, jnp.bfloat16,
+             "flat"),
             ("int16/bf16/out-bcast", jnp.int16, jnp.bfloat16,
              "broadcast")):
         jf, x = build(idt, sdt, ow)
