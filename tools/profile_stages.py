@@ -176,7 +176,11 @@ def main() -> None:
         if stage == "bench":
             # the REAL prod_rx_batch step incl. all XLA glue the other
             # stages skip (decim_prev state transposes, _decode_out,
-            # outs materialization) -- delta vs "full" attributes it
+            # outs materialization).  CAVEAT: the step returns only
+            # scalar checksums, so XLA DCEs the outs/state
+            # materialization this stage was meant to time -- measure
+            # glue as (bench.py wall) - (profiler "full") at the same
+            # geometry instead (ROADMAP round-3 notes)
             from singlecarrier_tpu.modem import prod_rx_init
             from singlecarrier_tpu.modem.rx_production import \
                 prod_rx_batch
