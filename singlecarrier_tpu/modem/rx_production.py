@@ -628,8 +628,12 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     # the GB-scale complex<->transposed-plane conversions per call.
     plane_state = not isinstance(state, ProdRxState)
     if plane_state:
-        assert fuse_extract and fuse_hunt, \
-            "plane state requires the fully fused path"
+        if not (fuse_extract and fuse_hunt):
+            # public-API precondition: must survive python -O
+            raise TypeError(
+                "plane-typed state (prod_rx_init_planes) requires the "
+                "fully fused path (fuse_extract=True, fuse_hunt=True); "
+                "pass a ProdRxState for the unfused paths")
         p0r, p0i, tail0_r, tail0_i, dprev0_t_in = state
     else:
         p0r, p0i = state.phase.real, state.phase.imag

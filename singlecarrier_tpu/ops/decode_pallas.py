@@ -584,11 +584,13 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
     # int8 mode: the band matrix is +/-1/0 PN chips (exactly int8);
     # quantizing the window operand q = clip(round(x*s), +/-127) runs
     # the dominant matmul at the MXU's doubled int8 rate.  |corr| <=
-    # 16 chips * 127 fits int32 (even int16); corr^2 <= 2032^2 < 2^24
-    # is EXACT in f32, so the int8 path has no fp reassociation at all
-    # -- Mosaic and the XLA oracle agree bit-for-bit given the same
-    # quantized operands.  The peak statistic is rescaled by 1/s^2 so
-    # the energy gate sees matched-filter units.
+    # 16 chips * 127 fits int32 (even int16); each corr^2 <= 2032^2
+    # < 2^24 is exact in f32.  The summed per-lag POWER (up to 2*n_seg
+    # such squares) can exceed 2^24 when windows clip near +/-127, so
+    # the accumulated peak is order-dependent there -- exactness holds
+    # for typical amplitudes and the actual gate is decision-level
+    # parity (tools/tpu_parity.py).  The peak statistic is rescaled by
+    # 1/s^2 so the energy gate sees matched-filter units.
     xw = ((lag_tiles - 1) * 128 + lag_kwin) if lag_tiles else klen
     xs = []
     for c in range(cyc):
@@ -807,17 +809,20 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
     mdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
            "int8": jnp.int8}[cfg.hunt_dtype]
     lag_kwin = 384
-    # lag-tiling needs every tile's band to fit the K window and the
-    # tiled lag count to equal the padded lag axis
+    # lag-tiling needs every tile's band to fit the K window, the
+    # tiled lag count to equal the padded lag axis, AND the assembled
+    # hunt window to cover the last tile's aligned K slice (a narrow-
+    # window numerology falls back to the chunk schedule instead of
+    # tripping an assert at trace time -- ADVICE r3)
     lag_ok = (cfg.hunt_scheme == "lagtile"
               and off + 127 + P - 1 < lag_kwin
-              and n_lags_pad % 128 == 0)
+              and n_lags_pad % 128 == 0
+              and wp >= (n_lags_pad // 128 - 1) * 128 + lag_kwin)
     lag_tiles = n_lags_pad // 128 if lag_ok else 0
     if lag_ok:
         mat_np = _segment_band_matrix_lagtile(n_lags, n_seg, P, off,
                                               tile=128, kwin=lag_kwin)
         mat = jnp.asarray(mat_np, dtype=mdt)
-        assert wp >= (lag_tiles - 1) * 128 + lag_kwin, wp
     else:
         mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg,
                                            P, off, klen_pad=klen)
@@ -875,9 +880,11 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, n_out), jnp.float32),
         # v5e has 128 MB VMEM; Mosaic's default 16 MB scoped limit is
-        # what capped cb at 64 (ROADMAP r2).  Raising it lets cb=128
-        # halve the per-channel cost of the issue-bound scalar chains
-        # (Cholesky/refine) with no numerics change.
+        # what capped cb at 64 (ROADMAP r2).  Raising the limit makes
+        # cb=128 COMPILE, but it is measured 20x SLOWER (Mosaic
+        # pathology, ROADMAP r3 -- not merely "no gain").  Keep cb=64;
+        # the raised limit exists only for headroom in the fused
+        # operand set at cb=64.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

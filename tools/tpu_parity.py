@@ -75,6 +75,11 @@ def main() -> int:
                     help="enable cfg.frac_timing (sub-sample timing "
                          "path; exercises the complex-carry Pallas "
                          "scan body on hardware)")
+    ap.add_argument("--allow-marginal-flips", action="store_true",
+                    help="tolerate <=1/1000 gate-marginal noise "
+                         "valid-flag flips even for non-int8 hunts "
+                         "(default: int8 only; bf16/f32 are "
+                         "bit-conservative and fail hard)")
     ap.add_argument("--xla-precision", default=None,
                     choices=[None, "default", "highest", "float32"],
                     help="matmul precision for the XLA oracle path "
@@ -284,7 +289,14 @@ def main() -> int:
             else:
                 spurious_flips.append(list(key))
         n_total_blocks = int(out_x.valid.size)
-        v_ok = v_eq or (not true_miss and
+        # The gate-marginal-flip tolerance applies ONLY to the int8
+        # hunt (round() makes sub-threshold noise blocks knife-edge
+        # sensitive to ulp-level frontend differences); the bf16/f32
+        # surfaces are bit-conservative, so any valid-flag flip there
+        # is a real Pallas regression and fails hard (ADVICE r3).
+        allow_marginal = (cfg.hunt_dtype == "int8"
+                          or args.allow_marginal_flips)
+        v_ok = v_eq or (allow_marginal and not true_miss and
                         len(spurious_flips) <=
                         max(1, n_total_blocks // 1000))
         # Decision criterion: identical detections on true packets +
