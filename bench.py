@@ -63,6 +63,15 @@ def main() -> None:
                     choices=[None, "chunk", "lagtile"],
                     help="override cfg.hunt_scheme (hunt matmul "
                          "schedule A/B)")
+    ap.add_argument("--mixer-fold", type=int, default=None,
+                    choices=[0, 1],
+                    help="override cfg.mixer_fold (complex-tap folded "
+                         "front-end A/B)")
+    ap.add_argument("--fuse-frontend", type=int, default=None,
+                    choices=[0, 1],
+                    help="ONE-kernel RX (ops/fused_rx.py): front-end "
+                         "+ hunt + decode fused, decim ring in VMEM "
+                         "(production mode only)")
     ap.add_argument("--real-stream", action="store_true",
                     help="synthesize REAL modulated packet streams "
                          "(every channel detecting) instead of noise; "
@@ -116,6 +125,8 @@ def main() -> None:
         cfg = cfg.replace(ls_gram=args.ls_gram)
     if args.hunt_scheme:
         cfg = cfg.replace(hunt_scheme=args.hunt_scheme)
+    if args.mixer_fold is not None:
+        cfg = cfg.replace(mixer_fold=bool(args.mixer_fold))
 
     C, B = args.channels, args.blocks
 
@@ -192,7 +203,8 @@ def main() -> None:
             st, out = prod_rx_batch(
                 cfg, state, pcm, block_channels=args.fe_block,
                 decode_block_channels=args.decode_block,
-                segs_per_chunk=args.segs_per_chunk)
+                segs_per_chunk=args.segs_per_chunk,
+                fuse_frontend=bool(args.fuse_frontend))
             return st, (out.valid.sum().astype(jnp.float32)
                         + out.eq_error.sum(),
                         out.valid.sum().astype(jnp.float32))

@@ -98,6 +98,26 @@ class ModemConfig:
                                   # ~-45 dBc quantization floor sits far
                                   # below any operating channel SNR.
                                   # "f32" for bit-conservative parity
+    mixer_fold: bool = False      # fold the downmix into COMPLEX
+                                  # decimation taps (frontend_pallas.
+                                  # _kernel_decim_folded): the matmul
+                                  # operand becomes the raw real PCM
+                                  # (ONE z plane instead of two --
+                                  # halves the z-store volume that
+                                  # dominates the front-end skeleton)
+                                  # and the mixer moves post-decim as
+                                  # an equal-cost output rotation.
+                                  # Same FLOPs, different op order
+                                  # (not bit-identical to premix);
+                                  # decision-level parity gated in
+                                  # tests/test_pallas_frontend.py and
+                                  # tools/tpu_parity.py --mixer-fold.
+                                  # False default keeps the premix
+                                  # kernel as the bit-conservative
+                                  # parity surface; bench.py flips it
+                                  # for the headline operating point.
+                                  # Requires the aligned kernel; falls
+                                  # back to premix otherwise.
     decim_dtype: str = "f32"      # decimated-plane storage between the
                                   # front-end and hunt+decode kernels
                                   # ("f32" | "bf16").  bf16 halves the

@@ -584,6 +584,7 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
                   decode_block_channels: int = 64,
                   segs_per_chunk: int = 2,
                   fuse_extract: bool = True, fuse_hunt: bool = True,
+                  fuse_frontend: bool = False,
                   interpret: bool = False):
     """Block-PARALLEL batched demod: no scan, no sequential carries.
 
@@ -640,6 +641,39 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
         tail0_r = state.fir_tail.real
         tail0_i = state.fir_tail.imag
         dprev0_t_in = None
+
+    if fuse_frontend:
+        # ---- ONE-kernel path: front-end + hunt + decode fused, decim
+        # ring carried in VMEM across the time-block grid walk
+        # (ops/fused_rx.py).  No decim-plane HBM traffic at all.
+        from ..ops.fused_rx import fused_rx_block
+        if not (fuse_extract and fuse_hunt):
+            raise ValueError(
+                "fuse_frontend requires fuse_extract and fuse_hunt")
+        if plane_state:
+            dprev0_t = dprev0_t_in
+        else:
+            dprev0_t = jnp.transpose(
+                jnp.stack([state.decim_prev.real, state.decim_prev.imag],
+                          axis=0), (2, 0, 1, 3))
+        dec, dlast, (fr, fi, ftr, fti) = fused_rx_block(
+            cfg, pcm_frames, p0r, p0i, tail0_r, tail0_i, dprev0_t,
+            descramble=descramble,
+            block_channels=min(decode_block_channels, C),
+            segs_per_chunk=segs_per_chunk, interpret=interpret)
+        out = _decode_out(cfg, dec, dec["lag"], dec["phase_idx"],
+                          dec["peak"])
+        out = jax.tree.map(lambda x: x.reshape(B, C, *x.shape[1:]), out)
+        if plane_state:
+            return (fr, fi, ftr, fti, dlast), out
+        return ProdRxState(
+            phase=lax.complex(fr, fi),
+            fir_tail=lax.complex(ftr, fti),
+            decim_prev=lax.complex(
+                jnp.transpose(dlast[:, 0], (1, 0, 2)).astype(
+                    jnp.float32),
+                jnp.transpose(dlast[:, 1], (1, 0, 2)).astype(
+                    jnp.float32))), out
 
     table = mixer_table(-cfg.center, cfg.fs, n)
     # adv^b for b in [0, B], float64 phase -> exactly-unit complex64

@@ -283,6 +283,131 @@ def _kernel_decim_aligned(pcm_ref, ph_ref, tail_ref, tab_ref, tdec_ref,
                     out_ref[:, c, p, b * chunk:b * chunk + w] = ys
 
 
+def _kernel_decim_folded(pcm_ref, ph_ref, tail_ref, unrot_ref, tabd_ref,
+                         tdre_ref, tdim_ref, out_ref, z_ref, *, n: int,
+                         ntaps: int, cyc: int, n_sym: int, chunk: int,
+                         zpad: int, klen_pad: int, inv_scale: float,
+                         transposed: bool):
+    """Mixer-FOLDED lane-aligned decimating front-end: ONE real z plane.
+
+    The downmix commutes with the (real-tap) matched filter:
+
+      y[t0] = sum_k w_k * (x[u] * phase * e^{jw(u+1)}),  u = t0 + k - halo
+            = phase * e^{jw(t0+1)} * sum_k (w_k e^{jw(k-halo)}) x[t0+k-halo]
+
+    so with COMPLEX taps c_k = w_k e^{jw(k-halo)} the matmul operand is
+    the RAW real PCM -- one z plane instead of two (halves the z-store
+    volume and the z scratch, the dominant cost of the front-end
+    skeleton per the store_only probe, ROADMAP r3) -- and the mixer
+    moves POST-decimation as a per-output rotation by
+    rot[t0] = phase * e^{jw(t0+1)} (= phase * mixer_table[t0]), equal
+    op count to the pre-mix it replaces.  Matmul count is unchanged:
+    2 tap matrices (Re/Im of c_k) x 1 plane instead of 1 matrix x 2
+    planes.
+
+    The carried tail state stays in the public DOWNMIXED-plane layout
+    (contract-stable with ``_kernel_decim_aligned``); the kernel
+    un-rotates it back to raw samples (a [cb, halo] sliver):
+    raw = Re[tail * conj(phase) * e^{-jw(m-halo+1)}].
+    """
+    halo = ntaps - 1
+    nchunk = -(-n_sym // chunk)
+    zdt = z_ref.dtype
+    lead = zpad - halo
+
+    x = pcm_ref[...].astype(jnp.float32) * inv_scale       # [CB, n]
+    pr = ph_ref[:, 0:1, 0]
+    pi = ph_ref[:, 1:2, 0]
+
+    eur = unrot_ref[0, 0:1, :]     # [1, halo] cos(w(m-halo+1))
+    eui = unrot_ref[0, 1:2, :]     # [1, halo] sin(w(m-halo+1))
+    t_r = tail_ref[:, 0, :]
+    t_i = tail_ref[:, 1, :]
+    a_ = t_r * pr + t_i * pi       # Re / Im of tail * conj(phase)
+    b_ = t_i * pr - t_r * pi
+    raw_tail = a_ * eur + b_ * eui
+
+    z_ref[:, :lead] = jnp.zeros_like(z_ref[:, :lead])
+    z_ref[:, lead:zpad] = raw_tail.astype(zdt)
+    z_ref[:, zpad:zpad + n] = x.astype(zdt)
+    pad = z_ref.shape[-1] - (zpad + n)
+    if pad:
+        z_ref[:, zpad + n:] = jnp.zeros_like(z_ref[:, zpad + n:])
+
+    tdre = tdre_ref[0]                             # [klen_pad, cyc*chunk]
+    tdim = tdim_ref[0]
+    acc_a = [[] for _ in range(cyc)]
+    acc_b = [[] for _ in range(cyc)]
+    for b in range(nchunk):
+        start = b * cyc * chunk
+        zs = z_ref[:, start:start + klen_pad]
+        ar = jnp.dot(zs, tdre, preferred_element_type=jnp.float32)
+        ai = jnp.dot(zs, tdim, preferred_element_type=jnp.float32)
+        w = min(chunk, n_sym - b * chunk)
+        for c in range(cyc):
+            acc_a[c].append(ar[:, c * chunk:c * chunk + w])
+            acc_b[c].append(ai[:, c * chunk:c * chunk + w])
+    # Rotation as FAT per-phase ops (a per-(chunk, phase) formulation
+    # = 120 narrow [cb, 128] ops was measurably slower than premix;
+    # here it is 5 groups of [cb, n_sym] ops).
+    for c in range(cyc):
+        A = jnp.concatenate(acc_a[c], axis=-1)     # [cb, n_sym]
+        B = jnp.concatenate(acc_b[c], axis=-1)
+        ta = tabd_ref[0, c:c + 1, :]               # [1, n_sym]
+        tb = tabd_ref[0, cyc + c:cyc + c + 1, :]
+        mr = pr * ta - pi * tb                     # [cb, n_sym]
+        mi = pr * tb + pi * ta
+        yr = (mr * A - mi * B).astype(out_ref.dtype)
+        yi = (mr * B + mi * A).astype(out_ref.dtype)
+        if transposed:
+            out_ref[c, 0, :, :] = yr
+            out_ref[c, 1, :, :] = yi
+        else:
+            out_ref[:, c, 0, :] = yr
+            out_ref[:, c, 1, :] = yi
+
+
+@functools.lru_cache(maxsize=8)
+def _decim_tap_matrix_folded(alpha: float, ntaps: int, gain: float,
+                             cyc: int, chunk: int, zpad: int,
+                             klen_pad: int, w_rad: float):
+    """Complex-folded taps c_k = gain*taps[k]*e^{j w (k-halo)} in the
+    aligned banded layout (``_decim_tap_matrix_aligned``); returns
+    (T_re, T_im)."""
+    taps = rrc_taps(alpha, ntaps) * gain
+    k = np.arange(ntaps)
+    ck = taps * np.exp(1j * w_rad * (k - (ntaps - 1)))
+    lead = zpad - (ntaps - 1)
+    tre = np.zeros((klen_pad, cyc * chunk), np.float32)
+    tim = np.zeros((klen_pad, cyc * chunk), np.float32)
+    for c in range(cyc):
+        for j in range(chunk):
+            r0 = lead + j * cyc + c
+            tre[r0:r0 + ntaps, c * chunk + j] = ck.real.astype(np.float32)
+            tim[r0:r0 + ntaps, c * chunk + j] = ck.imag.astype(np.float32)
+    return tre, tim
+
+
+@functools.lru_cache(maxsize=8)
+def _fold_tables(center: float, fs: float, n: int, cyc: int, n_sym: int,
+                 halo: int):
+    """(rot table [1, 2*cyc, n_sym], tail un-rotation [1, 2, halo]) for
+    the folded kernel.  rot row c / cyc+c = cos/sin of w(t0+1) at
+    t0 = j*cyc + c (the mixer_table convention: index t -> e^{jw(t+1)});
+    unrot row 0/1 = cos/sin of w(m-halo+1)."""
+    w = -2.0 * np.pi * center / fs
+    table = mixer_table(-center, fs, n)
+    t0 = np.arange(n_sym)[None, :] * cyc + np.arange(cyc)[:, None]
+    rot = table[t0]                                # [cyc, n_sym] c64
+    tabd = np.concatenate([rot.real, rot.imag], axis=0).astype(
+        np.float32).reshape(1, 2 * cyc, n_sym)
+    m = np.arange(halo)
+    eu = np.exp(1j * w * (m - halo + 1))
+    unrot = np.stack([eu.real, eu.imag]).astype(np.float32).reshape(
+        1, 2, halo)
+    return tabd, unrot
+
+
 @functools.lru_cache(maxsize=8)
 def _decim_tap_matrix_aligned(alpha: float, ntaps: int, gain: float,
                               cyc: int, chunk: int, zpad: int,
@@ -314,6 +439,7 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
                          tail_r, tail_i, *, block_channels: int = 256,
                          chunk: int = 128, transposed: bool = False,
                          aligned: bool = True, debug_mode: str = "none",
+                         mixer_fold: bool | None = None,
                          interpret: bool = False):
     """Fused front-end emitting decimated symbol planes.
 
@@ -343,12 +469,81 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
     zdt = jnp.bfloat16 if cfg.frontend_dtype == "bf16" else jnp.float32
     if aligned and (cyc * chunk) % 128 != 0:
         aligned = False                     # alignment trick unavailable
+    if mixer_fold is None:
+        mixer_fold = cfg.mixer_fold
+    mixer_fold = (mixer_fold and aligned and debug_mode == "none")
 
     table = mixer_table(-cfg.center, cfg.fs, n)
     tab = jnp.asarray(
         np.stack([table.real, table.imag]).reshape(1, 2, n))
     phases = jnp.stack([phase_r, phase_i], axis=1)[..., None]  # [C,2,1]
     tails = jnp.stack([tail_r, tail_i], axis=1)                # [C,2,halo]
+
+    # decim_dtype applies to the TRANSPOSED (fused hunt+decode) path
+    # only; the plane-major layout feeds XLA consumers that expect f32.
+    odt = (jnp.bfloat16 if (cfg.decim_dtype == "bf16" and transposed)
+           else jnp.float32)
+    if transposed:
+        out_spec = pl.BlockSpec((cyc, 2, cb, n_sym),
+                                lambda i: (0, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((cyc, 2, C, n_sym), odt)
+    else:
+        out_spec = pl.BlockSpec((cb, cyc, 2, n_sym),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, cyc, 2, n_sym), jnp.float32)
+
+    if mixer_fold:
+        zpad = -(-halo // 128) * 128
+        klen = zpad + cyc * chunk
+        zlen = max(zpad + n, zpad + nchunk * cyc * chunk)
+        tre_np, tim_np = _decim_tap_matrix_folded(
+            cfg.alpha, cfg.ntaps, cfg.fir_gain, cyc, chunk, zpad, klen,
+            -2.0 * np.pi * cfg.center / cfg.fs)
+        tdre = jnp.asarray(tre_np.reshape(1, klen, cyc * chunk)
+                           ).astype(zdt)
+        tdim = jnp.asarray(tim_np.reshape(1, klen, cyc * chunk)
+                           ).astype(zdt)
+        tabd_np, unrot_np = _fold_tables(cfg.center, cfg.fs, n, cyc,
+                                         n_sym, halo)
+        kern = functools.partial(
+            _kernel_decim_folded, n=n, ntaps=ntaps, cyc=cyc,
+            n_sym=n_sym, chunk=chunk, zpad=zpad, klen_pad=klen,
+            inv_scale=1.0 / cfg.tx_amplitude, transposed=transposed)
+        decim = pl.pallas_call(
+            kern,
+            grid=(C // cb,),
+            in_specs=[
+                pl.BlockSpec((cb, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cb, 2, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cb, 2, halo), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, halo), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * cyc, n_sym), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, klen, cyc * chunk),
+                             lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, klen, cyc * chunk),
+                             lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((cb, zlen), zdt)],
+            # the fat per-phase rotation temporaries push past the
+            # 16 MB default scoped limit at cb=128 (v5e has 128 MB)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(pcm, phases, tails, jnp.asarray(unrot_np),
+          jnp.asarray(tabd_np), tdre, tdim)
+        return _frontend_state_out(cfg, decim, pcm, table, phase_r,
+                                   phase_i, n, halo)
 
     if aligned:
         zpad = -(-halo // 128) * 128
@@ -376,21 +571,6 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
             transposed=transposed)
         td_cols = chunk
 
-    # decim_dtype applies to the TRANSPOSED (fused hunt+decode) path
-    # only; the plane-major layout feeds XLA consumers that expect f32.
-    odt = (jnp.bfloat16 if (cfg.decim_dtype == "bf16" and transposed)
-           else jnp.float32)
-    if transposed:
-        out_spec = pl.BlockSpec((cyc, 2, cb, n_sym),
-                                lambda i: (0, 0, i, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((cyc, 2, C, n_sym), odt)
-    else:
-        out_spec = pl.BlockSpec((cb, cyc, 2, n_sym),
-                                lambda i: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((C, cyc, 2, n_sym), jnp.float32)
-
     decim = pl.pallas_call(
         kern,
         grid=(C // cb,),
@@ -415,7 +595,13 @@ def fused_frontend_decim(cfg: ModemConfig, pcm, phase_r, phase_i,
         interpret=interpret,
     )(pcm, phases, tails, tab, td)
 
-    # New FIR tail + phase advance (identical to fused_frontend).
+    return _frontend_state_out(cfg, decim, pcm, table, phase_r,
+                               phase_i, n, halo)
+
+
+def _frontend_state_out(cfg, decim, pcm, table, phase_r, phase_i, n,
+                        halo):
+    """New FIR tail + phase advance (identical to fused_frontend)."""
     x_t = pcm[:, n - halo:].astype(jnp.float32) / cfg.tx_amplitude
     tr_t = jnp.asarray(table.real[n - halo:])
     ti_t = jnp.asarray(table.imag[n - halo:])

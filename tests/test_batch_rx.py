@@ -98,6 +98,79 @@ def test_batch_rx_fused_hunt_matches_unfused():
         assert np.allclose(np.asarray(a.imag), np.asarray(b.imag))
 
 
+def test_batch_rx_mixer_fold_decodes():
+    """cfg.mixer_fold: the complex-tap folded front-end feeding the
+    fused hunt+decode path must reproduce the premix path's decisions
+    and decode the sent payload (op-order differences stay far below
+    decision margins)."""
+    cfg = CFG.replace(mixer_fold=True)
+    bits, frames = _frames(seed=59)
+    n = len(frames)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    _, out_f = prod_rx_batch(
+        cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, interpret=True)
+    _, out_p = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, interpret=True)
+
+    assert np.array_equal(np.asarray(out_f.valid), np.asarray(out_p.valid))
+    assert np.array_equal(np.asarray(out_f.lag), np.asarray(out_p.lag))
+    v = np.asarray(out_p.valid)
+    assert np.array_equal(np.asarray(out_f.bits)[v],
+                          np.asarray(out_p.bits)[v])
+    got = np.asarray(out_f.bits[:, 0])[np.asarray(out_f.valid[:, 0])]
+    assert np.array_equal(got, bits.reshape(-1, CFG.bits_per_frame))
+
+
+def test_batch_rx_fuse_frontend_one_kernel():
+    """fuse_frontend=True (ops/fused_rx.py): the ONE-kernel RX (decim
+    ring carried in VMEM across the time-block grid walk) must match
+    the two-kernel path's decisions and carried state, including
+    across a dispatch boundary (the b==0 ring seeding)."""
+    bits, frames = _frames(seed=67)
+    n = len(frames)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+    half = n // 2
+
+    for cfg in (CFG, CFG.replace(decim_dtype="bf16", hunt_dtype="int8")):
+        st2, out2 = prod_rx_batch(
+            cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+            block_channels=4, decode_block_channels=4, interpret=True)
+        # one-kernel path, split into TWO calls (state carry across
+        # dispatches exercises dprev0/tail0 seeding at b==0)
+        st1 = prod_rx_init(cfg, (C,))
+        st1, out_a = prod_rx_batch(
+            cfg, st1, batch[:half], descramble=False,
+            block_channels=4, decode_block_channels=4,
+            fuse_frontend=True, interpret=True)
+        st1, out_b = prod_rx_batch(
+            cfg, st1, batch[half:], descramble=False,
+            block_channels=4, decode_block_channels=4,
+            fuse_frontend=True, interpret=True)
+        out1 = jax.tree.map(
+            lambda a, b: np.concatenate([np.asarray(a),
+                                         np.asarray(b)], 0),
+            out_a, out_b)
+
+        v = np.asarray(out2.valid)
+        assert np.array_equal(np.asarray(out1.valid), v), cfg.hunt_dtype
+        assert np.array_equal(np.asarray(out1.lag), np.asarray(out2.lag))
+        assert np.array_equal(np.asarray(out1.bits)[v],
+                              np.asarray(out2.bits)[v])
+        got = np.asarray(out1.bits)[:, 0][v[:, 0]]
+        assert np.array_equal(got, bits.reshape(-1, CFG.bits_per_frame))
+        assert np.allclose(np.asarray(st1.decim_prev.real),
+                           np.asarray(st2.decim_prev.real), atol=1e-5)
+        assert np.allclose(np.asarray(st1.fir_tail.imag),
+                           np.asarray(st2.fir_tail.imag), atol=1e-6)
+
+
 def test_batch_rx_int8_hunt_matches_xla_and_decodes():
     """cfg.hunt_dtype="int8": the quantized-correlation hunt (int8
     MXU path) must agree with the XLA oracle running the SAME

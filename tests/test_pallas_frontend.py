@@ -54,6 +54,40 @@ def test_fused_frontend_decim_aligned_layouts():
                           np.asarray(jnp.transpose(d_new, (1, 2, 0, 3))))
 
 
+def test_fused_frontend_decim_mixer_fold():
+    """The mixer-folded kernel (complex decimation taps + post-decim
+    rotation, ONE raw z plane) equals the premix aligned kernel across
+    a carried-state block boundary, at f32 exactly and bf16 within
+    quantization."""
+    from singlecarrier_tpu.ops.frontend_pallas import fused_frontend_decim
+
+    rng = np.random.default_rng(5)
+    C = 8
+    pcm = jnp.asarray(rng.integers(
+        -16384, 16384, (C, 2 * CFG.frame_size)).astype(np.int16))
+    th = rng.uniform(0, 2 * np.pi, C)
+    phr = jnp.asarray(np.cos(th).astype(np.float32))
+    phi = jnp.asarray(np.sin(th).astype(np.float32))
+    tl = jnp.zeros((C, 48), jnp.float32)
+
+    for dt, tol in (("f32", 1e-5), ("bf16", 2e-2)):
+        cfg = CFG.replace(frontend_dtype=dt)
+
+        def run(fold):
+            a = fused_frontend_decim(
+                cfg, pcm[:, :cfg.frame_size], phr, phi, tl, tl,
+                block_channels=8, mixer_fold=fold, interpret=True)
+            b = fused_frontend_decim(
+                cfg, pcm[:, cfg.frame_size:], a[3], a[4], a[1], a[2],
+                block_channels=8, mixer_fold=fold, interpret=True)
+            return np.asarray(a[0]), np.asarray(b[0])
+
+        a0, b0 = run(False)
+        a1, b1 = run(True)
+        assert np.max(np.abs(a0 - a1)) < tol, dt
+        assert np.max(np.abs(b0 - b1)) < tol, dt   # carried raw tail
+
+
 def test_fused_frontend_streaming_continuity():
     """Two chunked invocations with carried tail/phase == one long
     XLA-filtered stream."""
