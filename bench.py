@@ -67,6 +67,10 @@ def main() -> None:
                     choices=[0, 1],
                     help="override cfg.mixer_fold (complex-tap folded "
                          "front-end A/B)")
+    ap.add_argument("--ls-bvec", default=None,
+                    choices=[None, "reduce", "matmul"],
+                    help="override cfg.ls_bvec (train b-vector as one "
+                         "MXU matmul vs 2L product+reduce chains)")
     ap.add_argument("--fuse-frontend", type=int, default=None,
                     choices=[0, 1],
                     help="ONE-kernel RX (ops/fused_rx.py): front-end "
@@ -91,6 +95,11 @@ def main() -> None:
                          "frozen blocks, adaptive/blocked_rls.py)")
     ap.add_argument("--kalman-block", type=int, default=32,
                     help="faithful-blocked block size B")
+    ap.add_argument("--superstep", type=int, default=0,
+                    help="production-scan mode: scan over K-block "
+                         "super-steps (batch path inside; latency K "
+                         "blocks, batch-mode throughput) instead of "
+                         "the per-block streaming scan")
     args = ap.parse_args()
 
     import jax
@@ -127,6 +136,8 @@ def main() -> None:
         cfg = cfg.replace(hunt_scheme=args.hunt_scheme)
     if args.mixer_fold is not None:
         cfg = cfg.replace(mixer_fold=bool(args.mixer_fold))
+    if args.ls_bvec:
+        cfg = cfg.replace(ls_bvec=args.ls_bvec)
 
     C, B = args.channels, args.blocks
 
@@ -153,13 +164,31 @@ def main() -> None:
             x = jnp.pad(pcm, ((0, 0), (0, pad)))[:, :need]
             x = jnp.tile(x, (C // uniq, 1))             # [C, B*n]
             x = x.reshape(C, B, cfg.frame_size)
-            return jnp.swapaxes(x, 0, 1).astype(jnp.int16)
+            return jnp.swapaxes(x, 0, 1).astype(jnp.int16).reshape(
+                B * C, cfg.frame_size)
     else:
+        from jax import lax
+
         @jax.jit
         def synth(key):
-            # [blocks, channels, frame_size] stream, synthesized on device
-            return jax.random.randint(
-                key, (B, C, cfg.frame_size), -16384, 16384, jnp.int16)
+            # [blocks, channels, frame_size] noise stream, synthesized
+            # on device.  random.bits + bitcast, one time-block at a
+            # time (lax.map): randint materializes u32 intermediates
+            # at 4x the int16 stream, which OOMed the >=1M
+            # block-channel dispatches the fused kernel itself fits.
+            # >>1 keeps the +-16384 amplitude convention.
+            def one(k):
+                u = jax.random.bits(k, (C, cfg.frame_size // 2),
+                                    jnp.uint32)
+                x = lax.bitcast_convert_type(u, jnp.int16).reshape(
+                    C, cfg.frame_size)
+                return (x >> 1).astype(jnp.int16)
+            # emitted FLAT [B*C, frame_size]: the steps bitcast it back
+            # to [B, C, n]; a [B, C, n]-shaped jit argument picked up a
+            # tiled layout whose flattening inside the step was a
+            # full 7.5 GB copy at the 2M-block-channel point
+            return lax.map(one, jax.random.split(key, B)).reshape(
+                B * C, cfg.frame_size)
 
     if args.mode in ("faithful", "faithful-blocked"):
         from singlecarrier_tpu.modem.rx import rx_init, rx_stream
@@ -168,6 +197,7 @@ def main() -> None:
         @jax.jit
         def step(state, pcm):
             # [C] channel axis via vmap; scan over blocks inside
+            pcm = pcm.reshape(B, C, cfg.frame_size)
             st, out = jax.vmap(
                 lambda s, p: rx_stream(cfg, s, p, blocked=kb)
             )(state, jnp.swapaxes(pcm, 0, 1))
@@ -177,19 +207,35 @@ def main() -> None:
 
         state = rx_init(cfg, (C,))
     elif args.mode == "production-scan":
-        from singlecarrier_tpu.modem import prod_rx_init
-        from singlecarrier_tpu.modem.rx_production import \
-            prod_rx_stream_pallas
+        from singlecarrier_tpu.modem import (prod_rx_init,
+                                             prod_rx_init_planes)
+        from singlecarrier_tpu.modem.rx_production import (
+            prod_rx_stream_pallas, prod_rx_stream_superstep)
 
-        @jax.jit
-        def step(state, pcm):
-            st, out = prod_rx_stream_pallas(cfg, state, pcm)
-            # scalar checksum forces real completion through the tunnel
-            return st, (out.valid.sum().astype(jnp.float32)
-                        + out.eq_error.sum(),
-                        out.valid.sum().astype(jnp.float32))
+        if args.superstep:
+            @jax.jit
+            def step(state, pcm):
+                st, out = prod_rx_stream_superstep(
+                    cfg, state, pcm.reshape(B, C, cfg.frame_size),
+                    superstep=args.superstep,
+                    fuse_frontend=bool(args.fuse_frontend))
+                return st, (out.valid.sum().astype(jnp.float32)
+                            + out.eq_error.sum(),
+                            out.valid.sum().astype(jnp.float32))
 
-        state = prod_rx_init(cfg, (C,))
+            state = prod_rx_init_planes(cfg, C)
+        else:
+            @jax.jit
+            def step(state, pcm):
+                st, out = prod_rx_stream_pallas(
+                    cfg, state, pcm.reshape(B, C, cfg.frame_size))
+                # scalar checksum forces real completion through the
+                # tunnel
+                return st, (out.valid.sum().astype(jnp.float32)
+                            + out.eq_error.sum(),
+                            out.valid.sum().astype(jnp.float32))
+
+            state = prod_rx_init(cfg, (C,))
     else:
         from singlecarrier_tpu.modem import prod_rx_init_planes
         from singlecarrier_tpu.modem.rx_production import prod_rx_batch
@@ -201,7 +247,8 @@ def main() -> None:
             # transpose appears in the dispatch (rx_production.
             # prod_rx_init_planes)
             st, out = prod_rx_batch(
-                cfg, state, pcm, block_channels=args.fe_block,
+                cfg, state, pcm.reshape(B, C, cfg.frame_size),
+                block_channels=args.fe_block,
                 decode_block_channels=args.decode_block,
                 segs_per_chunk=args.segs_per_chunk,
                 fuse_frontend=bool(args.fuse_frontend))

@@ -158,6 +158,19 @@ class ModemConfig:
                                   # fp reassociation (decode_pallas.
                                   # _gram_sliding; equality gated in
                                   # tests/test_decode_pallas.py)
+    ls_bvec: str = "reduce"       # train-fit b-vector assembly:
+                                  # "matmul" = one [cb, 256] x
+                                  # [256, 128] MXU matmul per plane
+                                  # against the banded PN matrix
+                                  # (decode_pallas._pn_bvec_band)
+                                  # replacing 2L issue-bound wide
+                                  # product+reduce chains; "reduce"
+                                  # (default) = the original chains,
+                                  # kept as the bit-conservative
+                                  # parity surface (the matmul
+                                  # reassociates the same sums).
+                                  # Equality gated in
+                                  # tests/test_decode_pallas.py
     phase_refine_iters: int = 3   # GUARDED decision-directed
                                   # phase-ramp passes (each applied
                                   # only where the decision error
@@ -293,6 +306,9 @@ class ModemConfig:
         if self.ls_gram not in ("direct", "sliding"):
             raise ValueError(
                 f"ls_gram must be direct|sliding, got {self.ls_gram}")
+        if self.ls_bvec not in ("reduce", "matmul"):
+            raise ValueError(
+                f"ls_bvec must be reduce|matmul, got {self.ls_bvec}")
         if self.hunt_scheme not in ("chunk", "lagtile"):
             raise ValueError(
                 f"hunt_scheme must be chunk|lagtile, got "

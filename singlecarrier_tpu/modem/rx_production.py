@@ -579,6 +579,54 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
     return final, outs
 
 
+def prod_rx_stream_superstep(cfg: ModemConfig, state, pcm_frames, *,
+                             superstep: int = 4,
+                             descramble: bool = True,
+                             block_channels: int = 128,
+                             decode_block_channels: int = 64,
+                             fuse_frontend: bool = False,
+                             interpret: bool = False):
+    """Streaming demod at BATCH-mode throughput: scan over K-block
+    super-steps.
+
+    The per-block streaming scan (``prod_rx_stream_pallas``) pays one
+    dispatch round of kernel-launch + state plumbing per 1880-sample
+    block -- measured 13% behind batch mode at identical geometry
+    (ROADMAP r3).  Every carried quantity of the production RX is
+    closed-form across a group of K blocks (``prod_rx_batch``), and
+    the splice between consecutive batch calls is exact
+    (tests/test_batch_rx.py test_batch_rx_state_carry_across_calls),
+    so a stream arriving K blocks at a time can run each arrival as
+    ONE batch dispatch: throughput amortizes to batch mode while
+    latency is bounded at K blocks (K * 235 ms of signal at 8 kHz).
+
+    ``state`` may be a ProdRxState or the plane tuple
+    (prod_rx_init_planes); the same type is returned.
+    ``pcm_frames``: [n_blocks, C, frame_size] int16 with n_blocks a
+    multiple of ``superstep``.
+    """
+    B = pcm_frames.shape[0]
+    if B % superstep:
+        raise ValueError(f"n_blocks ({B}) not a multiple of "
+                         f"superstep ({superstep})")
+    groups = pcm_frames.reshape(B // superstep, superstep,
+                                *pcm_frames.shape[1:])
+    plane_state = not isinstance(state, ProdRxState)
+    st0 = state if plane_state else state_to_planes(cfg, state)
+
+    def body(st, grp):
+        return prod_rx_batch(
+            cfg, st, grp, descramble=descramble,
+            block_channels=block_channels,
+            decode_block_channels=decode_block_channels,
+            fuse_frontend=fuse_frontend, interpret=interpret)
+
+    st_f, outs = lax.scan(body, st0, groups)
+    outs = jax.tree.map(
+        lambda x: x.reshape(B, *x.shape[2:]), outs)
+    return (st_f if plane_state else planes_to_state(st_f)), outs
+
+
 def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
                   descramble: bool = True, block_channels: int = 128,
                   decode_block_channels: int = 64,

@@ -56,16 +56,16 @@ from ..config import ModemConfig
 from ..constants import PREAMBLE_VALUES, scramble_dibit_mask
 from ..dsp.fftops import _dft_matrix
 from ..dsp.mixer import mixer_table
-from .decode_pallas import (_hunt_decode_core, _probe_out,
-                            _segment_band_matrix_lagtile,
+from .decode_pallas import (_hunt_decode_core, _pnb_operand,
+                            _probe_out, _segment_band_matrix_lagtile,
                             _segment_band_matrix_smaj)
 from .frontend_pallas import (_decim_tap_matrix_aligned,
                               _decim_tap_matrix_folded, _fold_tables)
 
 
 def _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
-                     wr_ref, wi_ref, pn_ref, mask_ref, out_ref, *,
-                     cyc, wp, off, n_sym, stage, **kw):
+                     wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
+                     out_ref, *, cyc, wp, off, n_sym, stage, **kw):
     """Shared tail: cur decim values -> ring update -> hunt+decode."""
     ddt = dlast_ref.dtype
     cb = cur[0][0].shape[0]
@@ -88,14 +88,36 @@ def _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
         for p_ in range(2):
             dlast_ref[c, p_] = cur[c][p_]
 
-    _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, mask_ref,
-                      out_ref, cyc=cyc, wp=wp, off=off, stage=stage,
-                      **kw)
+    _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
+                      mask_ref, out_ref, cyc=cyc, wp=wp, off=off,
+                      stage=stage, **kw)
 
 
-def _fused_rx_kernel_premix(pcm_ref, ph_ref, tail0_ref, dprev0_ref,
+def _phase_tail(ptail_ref, advs_ref, halo):
+    """Per-step mixer phase + carried-tail seed from the PACKED
+    state operand.
+
+    ``ptail``: [cb, 2, 8 + halo] -- lane 0 carries the block-0 phase
+    plane, lanes 8.. the downmixed tail planes.  A separate [N, 2, 1]
+    phases operand lane-pads 1 -> 128 (a 2 GB HBM stream + copy at the
+    2M-block-channel point); here the phase rides an operand that
+    already exists and the per-block advance adv^b comes from two SMEM
+    scalars: pr = p0r*adv_r - p0i*adv_i.
+    """
+    b = pl.program_id(1)
+    ar_s = advs_ref[0, b]
+    ai_s = advs_ref[1, b]
+    p0r = ptail_ref[:, 0, 0:1]                             # [cb, 1]
+    p0i = ptail_ref[:, 1, 0:1]
+    pr = p0r * ar_s - p0i * ai_s
+    pi = p0r * ai_s + p0i * ar_s
+    return pr, pi
+
+
+def _fused_rx_kernel_premix(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
                             tab_ref, td_ref, mat_ref, wr_ref, wi_ref,
-                            pn_ref, mask_ref, out_ref, dlast_ref,
+                            pn_ref, pnb_ref, mask_ref, out_ref,
+                            dlast_ref,
                             zr_ref, zi_ref, *, n, ntaps, cyc, n_sym,
                             chunk, zpad, fe_klen, inv_scale, wp, off,
                             stage="full", **kw):
@@ -109,15 +131,14 @@ def _fused_rx_kernel_premix(pcm_ref, ph_ref, tail0_ref, dprev0_ref,
     first = pl.program_id(1) == 0
 
     x = pcm_ref[...].astype(jnp.float32) * inv_scale       # [cb, n]
-    pr = ph_ref[:, 0:1, 0]
-    pi = ph_ref[:, 1:2, 0]
+    pr, pi = _phase_tail(ptail_ref, advs_ref, halo)
     tr = tab_ref[0, 0:1, :]
     ti = tab_ref[0, 1:2, :]
 
     # downmixed tail: ring (previous block's z, which the closed-form
     # phase recursion makes exactly this block's halo) or carried state
     for p_, z_ref in enumerate((zr_ref, zi_ref)):
-        seed = tail0_ref[:, p_, :].astype(zdt)
+        seed = ptail_ref[:, p_, 8:8 + halo].astype(zdt)
         ring = z_ref[:, zpad + n - halo:zpad + n]
         z_ref[:, :lead] = jnp.zeros_like(z_ref[:, :lead])
         z_ref[:, lead:zpad] = jnp.where(first, seed, ring)
@@ -148,15 +169,16 @@ def _fused_rx_kernel_premix(pcm_ref, ph_ref, tail0_ref, dprev0_ref,
             cur[c][p_] = jnp.concatenate(acc[c][p_], axis=-1)
 
     _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
-                     wr_ref, wi_ref, pn_ref, mask_ref, out_ref,
-                     cyc=cyc, wp=wp, off=off, n_sym=n_sym, stage=stage,
-                     **kw)
+                     wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
+                     out_ref, cyc=cyc, wp=wp, off=off, n_sym=n_sym,
+                     stage=stage, **kw)
 
 
-def _fused_rx_kernel_folded(pcm_ref, ph_ref, tail0_ref, dprev0_ref,
+def _fused_rx_kernel_folded(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
                             unrot_ref, tabd_ref, tdre_ref, tdim_ref,
-                            mat_ref, wr_ref, wi_ref, pn_ref, mask_ref,
-                            out_ref, dlast_ref, z_ref, *, n, ntaps,
+                            mat_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
+                            mask_ref, out_ref, dlast_ref, z_ref, *,
+                            n, ntaps,
                             cyc, n_sym, chunk, zpad, fe_klen,
                             inv_scale, wp, off, stage="full", **kw):
     """Front-end = mixer-folded complex-tap matmul on ONE raw plane
@@ -169,14 +191,13 @@ def _fused_rx_kernel_folded(pcm_ref, ph_ref, tail0_ref, dprev0_ref,
     first = pl.program_id(1) == 0
 
     x = pcm_ref[...].astype(jnp.float32) * inv_scale       # [cb, n]
-    pr = ph_ref[:, 0:1, 0]
-    pi = ph_ref[:, 1:2, 0]
+    pr, pi = _phase_tail(ptail_ref, advs_ref, halo)
 
     # raw tail: ring, or the carried downmixed planes un-rotated
     eur = unrot_ref[0, 0:1, :]
     eui = unrot_ref[0, 1:2, :]
-    t_r = tail0_ref[:, 0, :]
-    t_i = tail0_ref[:, 1, :]
+    t_r = ptail_ref[:, 0, 8:8 + halo]
+    t_i = ptail_ref[:, 1, 8:8 + halo]
     a_ = t_r * pr + t_i * pi
     b_ = t_i * pr - t_r * pi
     tail_seed = (a_ * eur + b_ * eui).astype(zdt)
@@ -213,9 +234,9 @@ def _fused_rx_kernel_folded(pcm_ref, ph_ref, tail0_ref, dprev0_ref,
         cur[c][1] = (mr * B + mi * A).astype(ddt)
 
     _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
-                     wr_ref, wi_ref, pn_ref, mask_ref, out_ref,
-                     cyc=cyc, wp=wp, off=off, n_sym=n_sym, stage=stage,
-                     **kw)
+                     wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
+                     out_ref, cyc=cyc, wp=wp, off=off, n_sym=n_sym,
+                     stage=stage, **kw)
 
 
 def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
@@ -304,16 +325,18 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         mask = np.zeros(D, np.float32)
     maskj = jnp.asarray(mask.reshape(1, 1, D))
 
-    # ---- closed-form per-(block, channel) mixer phases ----
+    # ---- phase + tail state, PACKED (ops/fused_rx._phase_tail) ----
     w_ = -2.0 * np.pi * cfg.center / cfg.fs
     advs = np.exp(1j * w_ * n * np.arange(B + 1)).astype(np.complex64)
-    ar_ = jnp.asarray(advs.real[:B, None])
-    ai_ = jnp.asarray(advs.imag[:B, None])
-    ph_r = (p0r[None, :] * ar_ - p0i[None, :] * ai_).reshape(N)
-    ph_i = (p0r[None, :] * ai_ + p0i[None, :] * ar_).reshape(N)
-    phases = jnp.stack([ph_r, ph_i], axis=1)[..., None]    # [N, 2, 1]
-    tails0 = jnp.stack([tail0_r, tail0_i], axis=1)         # [C, 2, halo]
+    advsj = jnp.asarray(
+        np.stack([advs.real[:B], advs.imag[:B]]))          # [2, B]
+    ptail = jnp.concatenate([
+        jnp.stack([p0r, p0i], axis=1)[..., None],          # [C, 2, 1]
+        jnp.zeros((C, 2, 7), jnp.float32),
+        jnp.stack([tail0_r, tail0_i], axis=1),             # [C, 2, halo]
+    ], axis=-1)                                            # [C, 2, 8+halo]
 
+    pnbj, bvec = _pnb_operand(cfg)
     cshift = C // cb
     common_kw = dict(
         n=n, ntaps=ntaps, cyc=cyc, n_sym=n_sym, chunk=chunk, zpad=zpad,
@@ -324,7 +347,7 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         rs=cfg.rs, peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
-        hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram,
+        hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
         lag_tiles=lag_tiles, lag_kwin=lag_kwin)
 
     fixed_specs = [
@@ -336,20 +359,21 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, P), lambda i, b: (0, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(pnbj.shape, lambda i, b: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, D), lambda i, b: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     lead_specs = [
         pl.BlockSpec((cb, n), _mk_nidx(cshift),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((cb, 2, 1), _mk_nidx3(cshift),
+        pl.BlockSpec((cb, 2, 8 + halo), lambda i, b: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((cb, 2, halo), lambda i, b: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((cyc, 2, cb, n_sym), lambda i, b: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    lead_args = [pcm_frames.reshape(N, n), phases, tails0,
+    lead_args = [pcm_frames.reshape(N, n), ptail, advsj,
                  dprev0_t.astype(ddt)]
 
     if cfg.mixer_fold:
@@ -418,7 +442,7 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(*lead_args, *fe_args, mat, wr, wi, pn, maskj)
+    )(*lead_args, *fe_args, mat, wr, wi, pn, pnbj, maskj)
 
     dec = {
         "dibits": out[:, :D],
@@ -438,8 +462,10 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
     mag = jnp.sqrt(fr * fr + fi * fi)
     table = mixer_table(-cfg.center, cfg.fs, n)
     x_t = pcm_frames[-1, :, n - halo:].astype(jnp.float32) * inv_scale
-    lr = ph_r[(B - 1) * C:][:, None]
-    li = ph_i[(B - 1) * C:][:, None]
+    lr = (p0r * np.float32(advs.real[B - 1])
+          - p0i * np.float32(advs.imag[B - 1]))[:, None]
+    li = (p0r * np.float32(advs.imag[B - 1])
+          + p0i * np.float32(advs.real[B - 1]))[:, None]
     tr_t = jnp.asarray(table.real[n - halo:])
     ti_t = jnp.asarray(table.imag[n - halo:])
     fin_tr = x_t * (lr * tr_t - li * ti_t)

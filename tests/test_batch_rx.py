@@ -171,6 +171,35 @@ def test_batch_rx_fuse_frontend_one_kernel():
                            np.asarray(st2.fir_tail.imag), atol=1e-6)
 
 
+def test_superstep_stream_matches_batch():
+    """prod_rx_stream_superstep (scan over K-block groups, batch path
+    inside) reproduces one big batch call exactly -- the splice between
+    groups is the same closed-form state carry."""
+    from singlecarrier_tpu.modem import prod_rx_init_planes
+    from singlecarrier_tpu.modem.rx_production import (
+        prod_rx_stream_superstep)
+
+    bits, frames = _frames(n_packets=4, seed=71)
+    n = len(frames) - (len(frames) % 2)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:n, None, :], (n, C, CFG.frame_size)).copy())
+
+    _, out_b = prod_rx_batch(
+        CFG, prod_rx_init(CFG, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, interpret=True)
+    _, out_s = prod_rx_stream_superstep(
+        CFG, prod_rx_init_planes(CFG, C), batch, superstep=2,
+        descramble=False, block_channels=4, decode_block_channels=4,
+        interpret=True)
+
+    v = np.asarray(out_b.valid)
+    assert np.array_equal(np.asarray(out_s.valid), v)
+    assert np.array_equal(np.asarray(out_s.bits)[v],
+                          np.asarray(out_b.bits)[v])
+    assert np.array_equal(np.asarray(out_s.lag), np.asarray(out_b.lag))
+
+
 def test_batch_rx_int8_hunt_matches_xla_and_decodes():
     """cfg.hunt_dtype="int8": the quantized-correlation hunt (int8
     MXU path) must agree with the XLA oracle running the SAME

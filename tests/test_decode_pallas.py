@@ -119,6 +119,41 @@ def test_sliding_gram_matches_direct():
                           outs["sliding"]["dibits"][v])
 
 
+def test_bvec_matmul_matches_reduce():
+    """cfg.ls_bvec="matmul" (train b-vector via the banded PN MXU
+    matmul) sums the same products as the reduce chains: coefficients
+    agree to reassociation level and decode decisions are identical."""
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, (2, CFG.ns, CFG.data_symbols * 2),
+                        dtype=np.uint8)
+    pcm = np.asarray(tx_stream(CFG, jnp.asarray(bits), flush_gap=True))
+    n = -(-len(pcm) // CFG.frame_size) + 1
+    buf = np.zeros(n * CFG.frame_size, np.int16)
+    buf[:len(pcm)] = pcm
+    frames = jnp.asarray(buf.reshape(n, CFG.frame_size))
+    pkts, peaks, lags = _extract_pkts(frames)
+    outs = {}
+    for bv in ("reduce", "matmul"):
+        cfg = CFG.replace(ls_bvec=bv)
+        o = fused_decode(cfg, jnp.asarray(pkts.real),
+                         jnp.asarray(pkts.imag), jnp.asarray(peaks),
+                         descramble=False,
+                         block_channels=pkts.shape[0], interpret=True)
+        outs[bv] = jax.tree.map(np.asarray, o)
+    assert np.array_equal(outs["reduce"]["gated"],
+                          outs["matmul"]["gated"])
+    assert np.array_equal(outs["reduce"]["matches"],
+                          outs["matmul"]["matches"])
+    v = outs["reduce"]["gated"] & (
+        outs["reduce"]["matches"] > CFG.match_threshold)
+    assert v.any()
+    assert np.array_equal(outs["reduce"]["dibits"][v],
+                          outs["matmul"]["dibits"][v])
+    np.testing.assert_allclose(outs["matmul"]["eq_error"][v],
+                               outs["reduce"]["eq_error"][v],
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_fused_decode_descramble():
     rng = np.random.default_rng(42)
     bits = rng.integers(0, 2, (2, CFG.ns, CFG.data_symbols * 2),
