@@ -47,6 +47,10 @@ def main() -> int:
     ap.add_argument("--scan-pallas", action="store_true",
                     help="also check prod_rx_stream_pallas (extra "
                          "compile time)")
+    ap.add_argument("--fuse-frontend", action="store_true",
+                    help="also check the ONE-kernel fused RX "
+                         "(ops/fused_rx.py, prod_rx_batch "
+                         "fuse_frontend=True)")
     ap.add_argument("--pallas-fe-xla-decode", action="store_true",
                     help="also run Pallas front-end + XLA decode "
                          "backend (numerics isolation)")
@@ -164,6 +168,17 @@ def main() -> int:
     out_b = jax.tree.map(np.asarray, run_batch(pcm))
 
     paths = {"batch_pallas": out_b}
+    if args.fuse_frontend:
+        @jax.jit
+        def run_fused(pcm):
+            fr = jnp.swapaxes(pcm, 0, 1)
+            _, out = prod_rx_batch(cfg, prod_rx_init(cfg, (C,)), fr,
+                                   descramble=True,
+                                   block_channels=min(128, C),
+                                   decode_block_channels=min(64, C),
+                                   fuse_frontend=True)
+            return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), out)
+        paths["fused_rx"] = jax.tree.map(np.asarray, run_fused(pcm))
     if args.scan_pallas:
         @jax.jit
         def run_scan_pallas(pcm):
