@@ -33,10 +33,11 @@ def main() -> None:
     # ~30 ms per-dispatch floor that must be amortized to measure the
     # device (production deployments dispatch locally/async).
     ap.add_argument("--channels", type=int, default=None,
-                    help="default: 65536 (production; with 8 blocks = "
-                         "the 524k block-channel HBM-limited operating "
-                         "point, SCALING.md), 16384 (production-scan), "
-                         "1024 (faithful modes)")
+                    help="default: 131072 (production; with 8 blocks "
+                         "= the 1M block-channel operating point the "
+                         "one-kernel fused RX unlocked, SCALING.md), "
+                         "16384 (production-scan), 1024 (faithful "
+                         "modes)")
     ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=2)
@@ -110,16 +111,25 @@ def main() -> None:
 
     from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
     if args.channels is None:
-        args.channels = {"production": 65536,
+        args.channels = {"production": 131072,
                          "production-scan": 16384,
                          "faithful": 1024,
                          "faithful-blocked": 1024}[args.mode]
-    if args.decim_dtype is None and args.mode == "production":
+    if args.fuse_frontend is None and args.mode == "production":
+        # headline path: the ONE-kernel fused RX (ops/fused_rx.py) --
+        # zero decim-plane HBM traffic; unlocks the 1M block-channel
+        # dispatch (SCALING.md round 4)
+        args.fuse_frontend = 1
+    if args.fuse_frontend is None:
+        args.fuse_frontend = 0
+    if args.decim_dtype is None and args.mode in ("production",
+                                                  "production-scan"):
         # headline operating point: bf16 decim carry halves the plane
         # footprint (523k block-channels/dispatch fits HBM; SCALING.md)
         # -- decode parity pinned on-chip in PARITY_TPU_BF16.json
         args.decim_dtype = "bf16"
-    if args.hunt_dtype is None and args.mode == "production":
+    if args.hunt_dtype is None and args.mode in ("production",
+                                                 "production-scan"):
         # int8 hunt: the dominant correlation matmul at the MXU's
         # doubled int8 rate (3.64 -> 4.18 GS/s).  Quality gate:
         # PARITY_TPU_INT8.json (0 payload bit diffs, all true packets
