@@ -614,7 +614,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                       hunt_scale, gram: str = "direct",
                       bvec: str = "reduce",
                       lag_tiles: int = 0, lag_kwin: int = 384,
-                      stage: str = "full"):
+                      qwins=None, stage: str = "full"):
     """Hunt + extract + decode, fully fused.
 
     Replaces the XLA hunt stage (rx_production._hunt_planes), whose
@@ -660,6 +660,12 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
     xs = []
     for c in range(cyc):
         for pl_ in range(2):
+            if int8_hunt and qwins is not None:
+                # pre-quantized window (the fused kernel's int8 ring:
+                # cur quantized ONCE per block instead of re-quantized
+                # as next block's prev -- identical integers)
+                xs.append(qwins[c][pl_][:, :xw])
+                continue
             w_ = wins[c][pl_][:, :xw]
             if int8_hunt:
                 q = jnp.clip(jnp.round(w_.astype(f32) * hunt_scale),

@@ -65,14 +65,51 @@ from .frontend_pallas import (_decim_tap_matrix_aligned,
 
 def _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
                      wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
-                     out_ref, *, cyc, wp, off, n_sym, stage, **kw):
-    """Shared tail: cur decim values -> ring update -> hunt+decode."""
+                     out_ref, qring_ref, *, cyc, wp, off, n_sym,
+                     stage, use_qring=False, **kw):
+    """Shared tail: cur decim values -> ring update -> hunt+decode.
+
+    ``qring_ref`` (int8 scratch [cyc, 2, cb, n_sym] or None): the
+    QUANTIZED decim ring for the int8 hunt -- each block's planes are
+    quantized once as cur and reused from the ring as the next
+    block's prev (the identical integers; a plain window re-quantizes
+    every column twice across consecutive steps).  Seeded from dprev0
+    at b == 0 under pl.when.
+    """
     ddt = dlast_ref.dtype
     cb = cur[0][0].shape[0]
     if stage == "fe":
         return _probe_out(out_ref, kw["D"],
                           *[cur[c][p] for c in range(cyc)
                             for p in range(2)])
+    f32 = jnp.float32
+    scale = kw["hunt_scale"]
+
+    def _q(v):
+        return jnp.clip(jnp.round(v.astype(f32) * scale),
+                        -127.0, 127.0).astype(jnp.int8)
+
+    qwins = None
+    if use_qring:
+        @pl.when(first)
+        def _seed():
+            for c in range(cyc):
+                for p_ in range(2):
+                    qring_ref[c, p_] = _q(dprev0_ref[c, p_])
+        lag_tiles = kw["lag_tiles"]
+        xw = ((lag_tiles - 1) * 128 + kw["lag_kwin"]) if lag_tiles             else kw["klen"]
+        zoq = jnp.zeros((cb, off), jnp.int8)
+        qwins = []
+        for c in range(cyc):
+            rowq = []
+            for p_ in range(2):
+                cq = _q(cur[c][p_])
+                rowq.append(jnp.concatenate(
+                    [zoq, qring_ref[c, p_],
+                     cq[:, :xw - off - n_sym]], axis=-1))
+                qring_ref[c, p_] = cq
+            qwins.append(rowq)
+
     zoff = jnp.zeros((cb, off), ddt)
     zright = jnp.zeros((cb, wp - off - 2 * n_sym), ddt)
     wins = []
@@ -90,7 +127,7 @@ def _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
 
     _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
                       mask_ref, out_ref, cyc=cyc, wp=wp, off=off,
-                      stage=stage, **kw)
+                      stage=stage, qwins=qwins, **kw)
 
 
 def _phase_tail(ptail_ref, advs_ref, halo):
@@ -118,7 +155,8 @@ def _fused_rx_kernel_premix(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
                             tab_ref, td_ref, mat_ref, wr_ref, wi_ref,
                             pn_ref, pnb_ref, mask_ref, out_ref,
                             dlast_ref,
-                            zr_ref, zi_ref, *, n, ntaps, cyc, n_sym,
+                            zr_ref, zi_ref, qring_ref, *, n, ntaps,
+                            cyc, n_sym,
                             chunk, zpad, fe_klen, inv_scale, wp, off,
                             stage="full", **kw):
     """Front-end = aligned decimating matmul on two downmixed planes
@@ -170,15 +208,15 @@ def _fused_rx_kernel_premix(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
 
     _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
                      wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
-                     out_ref, cyc=cyc, wp=wp, off=off, n_sym=n_sym,
-                     stage=stage, **kw)
+                     out_ref, qring_ref, cyc=cyc, wp=wp, off=off,
+                     n_sym=n_sym, stage=stage, **kw)
 
 
 def _fused_rx_kernel_folded(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
                             unrot_ref, tabd_ref, tdre_ref, tdim_ref,
                             mat_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
-                            mask_ref, out_ref, dlast_ref, z_ref, *,
-                            n, ntaps,
+                            mask_ref, out_ref, dlast_ref, z_ref,
+                            qring_ref, *, n, ntaps,
                             cyc, n_sym, chunk, zpad, fe_klen,
                             inv_scale, wp, off, stage="full", **kw):
     """Front-end = mixer-folded complex-tap matmul on ONE raw plane
@@ -235,8 +273,8 @@ def _fused_rx_kernel_folded(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
 
     _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
                      wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
-                     out_ref, cyc=cyc, wp=wp, off=off, n_sym=n_sym,
-                     stage=stage, **kw)
+                     out_ref, qring_ref, cyc=cyc, wp=wp, off=off,
+                     n_sym=n_sym, stage=stage, **kw)
 
 
 def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
@@ -337,6 +375,12 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
     ], axis=-1)                                            # [C, 2, 8+halo]
 
     pnbj, bvec = _pnb_operand(cfg)
+    # int8 quantized decim ring: only when the hunt is int8 and the
+    # hunt window's x-slice fits [zoff | prev | cur-prefix]
+    xw_need = ((n_lags_pad // 128 - 1) * 128 + lag_kwin) if lag_ok \
+        else klen
+    use_qring = (cfg.hunt_dtype == "int8"
+                 and off + 2 * n_sym >= xw_need)
     cshift = C // cb
     common_kw = dict(
         n=n, ntaps=ntaps, cyc=cyc, n_sym=n_sym, chunk=chunk, zpad=zpad,
@@ -348,7 +392,7 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
-        lag_tiles=lag_tiles, lag_kwin=lag_kwin)
+        lag_tiles=lag_tiles, lag_kwin=lag_kwin, use_qring=use_qring)
 
     fixed_specs = [
         pl.BlockSpec(mat.shape, lambda i, b: (0,) * mat.ndim,
@@ -402,7 +446,8 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
             jnp.asarray(tim_np.reshape(1, fe_klen, cyc * chunk)
                         ).astype(zdt),
         ]
-        scratch = [pltpu.VMEM((cb, zlen), zdt)]
+        scratch = [pltpu.VMEM((cb, zlen), zdt),
+                   pltpu.VMEM((cyc, 2, cb, n_sym), jnp.int8)]
     else:
         table = mixer_table(-cfg.center, cfg.fs, n)
         tab = jnp.asarray(
@@ -421,7 +466,8 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         fe_args = [tab, jnp.asarray(
             td_np.reshape(1, fe_klen, cyc * chunk)).astype(zdt)]
         scratch = [pltpu.VMEM((cb, zlen), zdt),
-                   pltpu.VMEM((cb, zlen), zdt)]
+                   pltpu.VMEM((cb, zlen), zdt),
+                   pltpu.VMEM((cyc, 2, cb, n_sym), jnp.int8)]
 
     out, dlast = pl.pallas_call(
         kern,

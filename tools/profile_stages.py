@@ -58,6 +58,11 @@ def main() -> None:
                          "truncation via decode_pallas stage=): "
                          "frontend, hunt, extract, cfo, derot, "
                          "train, refit, refine, full")
+    ap.add_argument("--one-kernel", action="store_true",
+                    help="profile IN-KERNEL stage prefixes of the "
+                         "one-kernel fused RX (ops/fused_rx.py): fe, "
+                         "hunt, extract, cfo, derot, train, refit, "
+                         "refine, full")
     ap.add_argument("--fe-block", type=int, default=128)
     ap.add_argument("--decode-block", type=int, default=64)
     ap.add_argument("--frontend-dtype", default=None,
@@ -236,6 +241,26 @@ def main() -> None:
             return st0, chk
         return step
 
+    def make_onekernel_step(stage: str):
+        from singlecarrier_tpu.ops.fused_rx import fused_rx_block
+        cyc, n_sym_ = cfg.cycles, cfg.symbols_per_block
+        ddt = (jnp.bfloat16 if cfg.decim_dtype == "bf16"
+               else jnp.float32)
+
+        @jax.jit
+        def step(st0, pcm):
+            p0r, p0i, t0r, t0i, _ = st0
+            dprev0 = jnp.zeros((cyc, 2, C, n_sym_), ddt)
+            dec, dlast, fin = fused_rx_block(
+                cfg, pcm, p0r, p0i, t0r, t0i, dprev0,
+                block_channels=args.decode_block, stage=stage)
+            chk = (dec["eq_error"].sum()
+                   + dec["matches"].sum().astype(jnp.float32)
+                   + dec["dibits"][:, :2].sum()
+                   + dlast[0, 0, :, 0].astype(jnp.float32).sum())
+            return st0, chk
+        return step
+
     def make_step(stage: str):
         def body(st, pcm):
             pr, pi_, tr, ti, dprev = st
@@ -277,14 +302,17 @@ def main() -> None:
     pcm = synth(jax.random.PRNGKey(0))
 
     stages = (args.stages.split(",") if args.stages
-              else (["frontend", "hunt", "extract", "cfo",
-                     "derot", "train", "refit", "refine", "full"]
+              else (["fe", "hunt", "extract", "cfo", "derot", "train",
+                     "refit", "refine", "full"] if args.one_kernel
+                    else ["frontend", "hunt", "extract", "cfo",
+                          "derot", "train", "refit", "refine", "full"]
                     if (args.fused and args.decode_stages)
                     else ["frontend", "full"] if args.fused
                     else ["frontend", "hunt", "extract", "full"]))
     results = {}
     for stage in stages:
-        step = (make_fused_step(stage) if args.fused
+        step = (make_onekernel_step(stage) if args.one_kernel
+                else make_fused_step(stage) if args.fused
                 else make_batch_step(stage) if args.batch
                 else make_step(stage))
         st = st0
