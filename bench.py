@@ -39,7 +39,10 @@ def main() -> None:
                          "16384 (production-scan), 1024 (faithful "
                          "modes)")
     ap.add_argument("--blocks", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8,
+                    help="timed chained steps (longer chain amortizes "
+                         "the single end-sync further; steady-state "
+                         "streaming model)")
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--fe-block", type=int, default=128,
                     help="front-end kernel channel block")

@@ -33,12 +33,17 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ns", type=int, default=DEFAULT_CONFIG.ns)
     p.add_argument("--eq-length", type=int,
                    default=DEFAULT_CONFIG.eq_length)
+    p.add_argument("--hunt-dtype", default=DEFAULT_CONFIG.hunt_dtype,
+                   choices=["bf16", "f32", "int8"])
+    p.add_argument("--decim-dtype", default=DEFAULT_CONFIG.decim_dtype,
+                   choices=["f32", "bf16"])
 
 
 def _cfg_from(args) -> ModemConfig:
     return DEFAULT_CONFIG.replace(
         fs=args.fs, rs=args.rs, center=args.center, alpha=args.alpha,
-        ns=args.ns, eq_length=args.eq_length)
+        ns=args.ns, eq_length=args.eq_length,
+        hunt_dtype=args.hunt_dtype, decim_dtype=args.decim_dtype)
 
 
 def cmd_info(args) -> int:
