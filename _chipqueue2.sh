@@ -1,17 +1,16 @@
 #!/bin/bash
+# Follow-up chip queue: round-4 A/Bs added after the main queue started.
 cd /root/repo
 run() { echo "=== $(date +%H:%M:%S) ${@:2}" >> /tmp/chipq2.log; timeout "$1" "${@:2}" >> /tmp/chipq2.log 2>&1; echo "=== rc=$?" >> /tmp/chipq2.log; }
-# headline confirm with qring + iters=8 at the 1M default
-run 2400 python bench.py
-# geometry A/B at the same 1M block-channels
-run 2400 python bench.py --channels 65536 --blocks 16
-run 2400 python bench.py --channels 32768 --blocks 32
-# streaming-mode triple at the 131k geometry, all at headline dtypes
-run 2400 python bench.py --mode production-scan
-run 2400 python bench.py --mode production-scan --superstep 4
-run 2400 python bench.py --channels 16384
-# per-stage split of the one-kernel RX
-run 2400 python tools/profile_stages.py --one-kernel --channels 16384 --blocks 8 --decim-dtype bf16 --hunt-dtype int8
-# BER through the Pallas batch path at the bench operating point
-run 3600 python -m singlecarrier_tpu ber --path batch_pallas --hunt-dtype int8 --decim-dtype bf16 --snrs 2,3,4,5,6 --packets 6 --trials 8
+
+# bf16 CFO-DFT A/B at the 1M headline point (exact micro-opts included
+# in both arms since they are now the committed kernel).
+run 3600 python bench.py --cfo-dtype bf16
+# synth-in-step: does removing the pcm jit operand (and its XLA
+# memory-space copy into the custom call) pay at 1M?
+run 3600 python bench.py --synth-in-step
+# ... and does it unlock the 2M block-channel dispatch?
+run 3600 python bench.py --synth-in-step --channels 262144
+# parity gate for the bf16 CFO operating point (fused one-kernel path)
+run 3600 python tools/tpu_parity.py --fuse-frontend --hunt-dtype int8 --decim-dtype bf16 --cfo-dtype bf16 --out PARITY_TPU_CFO16.json
 echo "QUEUE2 DONE" >> /tmp/chipq2.log

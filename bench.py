@@ -59,6 +59,11 @@ def main() -> None:
                     help="override cfg.hunt_dtype (int8 runs the "
                          "dominant correlation matmul at the MXU's "
                          "doubled int8 rate)")
+    ap.add_argument("--cfo-dtype", default=None,
+                    choices=[None, "f32", "bf16"],
+                    help="override cfg.cfo_dtype (bf16 CFO-DFT "
+                         "matmuls at full MXU rate; the XLA oracle "
+                         "already runs its DFT in bf16)")
     ap.add_argument("--ls-gram", default=None,
                     choices=[None, "direct", "sliding"],
                     help="override cfg.ls_gram (decode-kernel Gram "
@@ -80,6 +85,15 @@ def main() -> None:
                     help="ONE-kernel RX (ops/fused_rx.py): front-end "
                          "+ hunt + decode fused, decim ring in VMEM "
                          "(production mode only)")
+    ap.add_argument("--synth-in-step", action="store_true",
+                    help="synthesize the noise pcm INSIDE the timed "
+                         "step (production mode): the pcm never "
+                         "exists as a jit operand, so the XLA "
+                         "memory-space copy that feeds the Pallas "
+                         "custom call (7.5 GB duplicated at the 2M "
+                         "block-channel point -- SCALING.md OOM row) "
+                         "is never materialized.  Adds the RNG cost "
+                         "(~1-3%%) to the timed region in exchange")
     ap.add_argument("--real-stream", action="store_true",
                     help="synthesize REAL modulated packet streams "
                          "(every channel detecting) instead of noise; "
@@ -143,6 +157,8 @@ def main() -> None:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
     if args.hunt_dtype:
         cfg = cfg.replace(hunt_dtype=args.hunt_dtype)
+    if args.cfo_dtype:
+        cfg = cfg.replace(cfo_dtype=args.cfo_dtype)
     if args.ls_gram:
         cfg = cfg.replace(ls_gram=args.ls_gram)
     if args.hunt_scheme:
@@ -182,8 +198,7 @@ def main() -> None:
     else:
         from jax import lax
 
-        @jax.jit
-        def synth(key):
+        def _synth_noise(key):
             # [blocks, channels, frame_size] noise stream, synthesized
             # on device.  random.bits + bitcast, one time-block at a
             # time (lax.map): randint materializes u32 intermediates
@@ -202,6 +217,8 @@ def main() -> None:
             # full 7.5 GB copy at the 2M-block-channel point
             return lax.map(one, jax.random.split(key, B)).reshape(
                 B * C, cfg.frame_size)
+
+        synth = jax.jit(_synth_noise)
 
     if args.mode in ("faithful", "faithful-blocked"):
         from singlecarrier_tpu.modem.rx import rx_init, rx_stream
@@ -253,8 +270,7 @@ def main() -> None:
         from singlecarrier_tpu.modem import prod_rx_init_planes
         from singlecarrier_tpu.modem.rx_production import prod_rx_batch
 
-        @jax.jit
-        def step(state, pcm):
+        def _demod(state, pcm):
             # plane-typed state: carried in the fused kernels' exact
             # layout, so no complex<->plane conversion or GB-scale
             # transpose appears in the dispatch (rx_production.
@@ -269,10 +285,24 @@ def main() -> None:
                         + out.eq_error.sum(),
                         out.valid.sum().astype(jnp.float32))
 
+        if args.synth_in_step and not args.real_stream:
+            # pcm is generated INSIDE the dispatch: the operand (and
+            # the XLA memory-space copy feeding the custom call) never
+            # exists; the timed region includes the int16 RNG
+            @jax.jit
+            def step(state, k):
+                return _demod(state, _synth_noise(k))
+        else:
+            step = jax.jit(_demod)
+
         state = prod_rx_init_planes(cfg, C)
 
     key = jax.random.PRNGKey(0)
-    pcm = synth(key)
+    if args.synth_in_step and args.mode == "production" \
+            and not args.real_stream:
+        pcm = key                       # the step synthesizes from it
+    else:
+        pcm = synth(key)
 
     # warmup / compile (float() fetch = hard sync; complex leaves must
     # never be fetched on this backend -- utils/compat.py)

@@ -37,13 +37,16 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
                    choices=["bf16", "f32", "int8"])
     p.add_argument("--decim-dtype", default=DEFAULT_CONFIG.decim_dtype,
                    choices=["f32", "bf16"])
+    p.add_argument("--cfo-dtype", default=DEFAULT_CONFIG.cfo_dtype,
+                   choices=["f32", "bf16"])
 
 
 def _cfg_from(args) -> ModemConfig:
     return DEFAULT_CONFIG.replace(
         fs=args.fs, rs=args.rs, center=args.center, alpha=args.alpha,
         ns=args.ns, eq_length=args.eq_length,
-        hunt_dtype=args.hunt_dtype, decim_dtype=args.decim_dtype)
+        hunt_dtype=args.hunt_dtype, decim_dtype=args.decim_dtype,
+        cfo_dtype=args.cfo_dtype)
 
 
 def cmd_info(args) -> int:

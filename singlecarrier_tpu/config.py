@@ -59,6 +59,17 @@ class ModemConfig:
                                   # (CFO-tolerant hunt; 1 = reference's
                                   # coherent correlator)
     cfo_nfft: int = 256           # zero-padded DFT size for CFO search
+    cfo_dtype: str = "f32"        # CFO-search DFT matmul precision
+                                  # ("f32" | "bf16").  bf16 runs the
+                                  # four [cb, P] x [P, nfft] DFT
+                                  # matmuls at full MXU rate and
+                                  # halves the DFT-matrix operand.
+                                  # The peak bin is SNR-robust and the
+                                  # parabolic delta only needs ~1e-2
+                                  # bin resolution, but the estimate
+                                  # is not bit-identical to f32 --
+                                  # decision-level gate like
+                                  # hunt_dtype (tools/tpu_parity.py)
     nlms_mu: float = 0.5          # production data-phase NLMS step size
     hunt_dtype: str = "bf16"      # correlation-hunt matmul precision
                                   # ("bf16" | "f32" | "int8"); peak
@@ -298,6 +309,9 @@ class ModemConfig:
         if self.frontend_dtype not in ("bf16", "f32"):
             raise ValueError(
                 f"frontend_dtype must be bf16|f32, got {self.frontend_dtype}")
+        if self.cfo_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"cfo_dtype must be f32|bf16, got {self.cfo_dtype}")
         if self.decim_dtype not in ("f32", "bf16"):
             raise ValueError(
                 f"decim_dtype must be f32|bf16, got {self.decim_dtype}")

@@ -325,13 +325,13 @@ def _slice_hard(ar, ai):
 def _decode_kernel(pkt_ref, peak_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
                    mask_ref, out_ref, *, P, D, L, off, nfft, rs,
                    peak_gate, ls_reg, refit_iters, refine_iters,
-                   gram="direct", bvec="reduce"):
+                   gram="direct", bvec="reduce", cfo_dtype="f32"):
     _decode_core(pkt_ref[:, 0, :], pkt_ref[:, 1, :], peak_ref[:, 0, :],
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :], pnb_ref[0],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
                  refit_iters=refit_iters, refine_iters=refine_iters,
-                 gram=gram, bvec=bvec)
+                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype)
 
 
 def _probe_out(out_ref, D, *vals):
@@ -349,7 +349,8 @@ def _probe_out(out_ref, D, *vals):
 def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
                  L, off, nfft, rs, peak_gate, ls_reg, refit_iters,
                  refine_iters, gram: str = "direct",
-                 bvec: str = "reduce", stage: str = "full"):
+                 bvec: str = "reduce", cfo_dtype: str = "f32",
+                 stage: str = "full"):
     """Shared decode body: aligned packet planes -> out_ref stats.
 
     pr0/pi0: [cb, pkt_window] values; peak: [cb, 1]; wr/wi: [P, nfft]
@@ -364,9 +365,12 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
     gated = peak > energy * peak_gate                   # [cb, 1]
 
     # ---- CFO search: DFT matmul + one-hot parabolic peak ----
-    tr = chips_r * pn
-    ti = chips_i * pn
     f32 = jnp.float32
+    cdt = jnp.bfloat16 if cfo_dtype == "bf16" else f32
+    tr = (chips_r * pn).astype(cdt)
+    ti = (chips_i * pn).astype(cdt)
+    wr = wr.astype(cdt)
+    wi = wi.astype(cdt)
     sr = jnp.dot(tr, wr, preferred_element_type=f32) \
         - jnp.dot(ti, wi, preferred_element_type=f32)
     si = jnp.dot(tr, wi, preferred_element_type=f32) \
@@ -374,11 +378,11 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
     pw = sr * sr + si * si                              # [cb, nfft]
     kbin_i = jnp.argmax(pw, axis=-1, keepdims=True).astype(jnp.int32)
     cols = lax.broadcasted_iota(jnp.int32, pw.shape, 1)
-    oh0 = (cols == kbin_i).astype(f32)
     ohm = (cols == (kbin_i - 1) % nfft).astype(f32)
     ohp = (cols == (kbin_i + 1) % nfft).astype(f32)
     kbin = kbin_i.astype(f32)
-    p0 = _reduce_last(pw * oh0)
+    # p0 IS the max (argmax picks it); skip the one-hot masked reduce
+    p0 = jnp.max(pw, axis=-1, keepdims=True)
     pm = _reduce_last(pw * ohm)
     pp = _reduce_last(pw * ohp)
     denom = pm - 2.0 * p0 + pp
@@ -440,20 +444,24 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
     # ---- decode + clamped GUARDED phase/frequency refinement ----
     def _derr(xr, xi):
         # amplitude-normalized mean decision distance (the guard
-        # metric; matches ls_equalizer._refine_err)
-        _, hrr, hhh = _slice_hard(xr, xi)
+        # metric; matches ls_equalizer._refine_err).  Also returns the
+        # hard decisions it computed: selection by the 0/1 ``keep``
+        # row-mask commutes with the per-element slicer, so the caller
+        # carries them through the guard instead of re-slicing (saves
+        # one _slice_hard per iteration + the post-loop one, exact).
+        dib_, hrr, hhh = _slice_hard(xr, xi)
         mg = _reduce_last(jnp.sqrt(xr * xr + xi * xi)) / D + 1e-9
         er = xr / mg - hrr
         ei = xi / mg - hhh
-        return _reduce_last(jnp.sqrt(er * er + ei * ei))
+        return _reduce_last(jnp.sqrt(er * er + ei * ei)), dib_, hrr, hhh
 
     ar, ai = _apply(dat_r, dat_i, cr, ci, L, D)
     a_max = np.float32(np.pi / 8.0)
     b_max = np.float32(np.pi / 8.0 / D)
     kd = lax.broadcasted_iota(jnp.int32, (1, D), 1).astype(f32)
-    cur_err = _derr(ar, ai) if refine_iters else None
+    if refine_iters:
+        cur_err, dib, hr, hh = _derr(ar, ai)
     for _ in range(refine_iters):
-        dib, hr, hh = _slice_hard(ar, ai)
         zr = ar * hr + ai * hh
         zi = ai * hr - ar * hh
         incr = _reduce_last(zr[:, 1:] * zr[:, :-1] + zi[:, 1:] * zi[:, :-1])
@@ -474,16 +482,21 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
         # (+0.7 dB at 2 iters; see ls_equalizer.phase_refine).  The
         # kept metric carries across iterations (recomputing
         # _derr(ar, ai) per pass is redundant -- it equals whichever
-        # of new/cur survived the previous guard).
-        new_err = _derr(ar2, ai2)
+        # of new/cur survived the previous guard), and so do the kept
+        # hard decisions (select commutes with the slicer).
+        new_err, dib2, hr2, hh2 = _derr(ar2, ai2)
         keep = (new_err <= cur_err).astype(f32)
         cur_err = keep * new_err + (1.0 - keep) * cur_err
         ar = keep * ar2 + (1.0 - keep) * ar
         ai = keep * ai2 + (1.0 - keep) * ai
+        dib = keep * dib2 + (1.0 - keep) * dib
+        hr = keep * hr2 + (1.0 - keep) * hr
+        hh = keep * hh2 + (1.0 - keep) * hh
     if stage == "refine":
         return _probe_out(out_ref, D, ar, ai)
 
-    dib, hr, hh = _slice_hard(ar, ai)
+    if not refine_iters:
+        dib, hr, hh = _slice_hard(ar, ai)
     if refine_iters:
         # cur_err is _derr of the SELECTED (ar, ai) by the guard
         # invariant, and _derr computes exactly D * eq_err -- reuse it
@@ -513,6 +526,18 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
     out_ref[:, D + 4:D + 5] = energy
     out_ref[:, D + 5:] = jnp.zeros_like(out_ref[:, D + 5:])
 
+
+
+def _dft_operands(cfg: ModemConfig):
+    """[1, P, nfft] CFO-DFT plane operands at cfg.cfo_dtype (bf16
+    halves the operand and runs the DFT matmuls at full MXU rate;
+    config.py cfo_dtype note)."""
+    P, nfft = cfg.preamble_length, cfg.cfo_nfft
+    wm = _dft_matrix(P, nfft)
+    dt = jnp.bfloat16 if cfg.cfo_dtype == "bf16" else jnp.float32
+    wr = jnp.asarray(wm.real.reshape(1, P, nfft)).astype(dt)
+    wi = jnp.asarray(wm.imag.reshape(1, P, nfft)).astype(dt)
+    return wr, wi
 
 
 def _pnb_operand(cfg: ModemConfig):
@@ -551,9 +576,7 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
     assert C % cb == 0
     n_out = -(-(D + 5) // 128) * 128
 
-    wm = _dft_matrix(P, nfft)
-    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
-    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
+    wr, wi = _dft_operands(cfg)
     pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
     if descramble:
         mask = scramble_dibit_mask()[:D].astype(np.float32)
@@ -569,7 +592,7 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
         peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram,
-        bvec=bvec)
+        bvec=bvec, cfo_dtype=cfg.cfo_dtype)
 
     out = pl.pallas_call(
         kern,
@@ -612,7 +635,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                       klen, P, D, L, off, nfft, rs, peak_gate, ls_reg,
                       refit_iters, refine_iters, hunt_mode,
                       hunt_scale, gram: str = "direct",
-                      bvec: str = "reduce",
+                      bvec: str = "reduce", cfo_dtype: str = "f32",
                       lag_tiles: int = 0, lag_kwin: int = 384,
                       qwins=None, stage: str = "full"):
     """Hunt + extract + decode, fully fused.
@@ -772,7 +795,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
                  refit_iters=refit_iters, refine_iters=refine_iters,
-                 gram=gram, bvec=bvec, stage=stage)
+                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype, stage=stage)
     if stage != "full":
         return
     # hunt results ride the same fat output (slots D+5..D+7; the core
@@ -901,9 +924,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
             mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
             dtype=mdt)
 
-    wm = _dft_matrix(P, nfft)
-    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
-    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
+    wr, wi = _dft_operands(cfg)
     pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
     if descramble:
         mask = scramble_dibit_mask()[:D].astype(np.float32)
@@ -923,6 +944,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
+        cfo_dtype=cfg.cfo_dtype,
         lag_tiles=lag_tiles, lag_kwin=lag_kwin, stage=stage)
 
     out = pl.pallas_call(
@@ -983,7 +1005,7 @@ def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
                            *, cyc, wp, pkt_len, P, D, L, off, nfft,
                            rs, peak_gate, ls_reg, refit_iters,
                            refine_iters, gram="direct",
-                           bvec="reduce"):
+                           bvec="reduce", cfo_dtype="f32"):
     """Decode with IN-KERNEL packet extraction.
 
     Replaces the XLA extraction stage (one-hot phase einsum + pad +
@@ -1028,7 +1050,7 @@ def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
                  refit_iters=refit_iters, refine_iters=refine_iters,
-                 gram=gram, bvec=bvec)
+                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype)
 
 
 def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
@@ -1061,9 +1083,7 @@ def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
     assert N % cb == 0
     n_out = -(-(D + 5) // 128) * 128
 
-    wm = _dft_matrix(P, nfft)
-    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
-    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
+    wr, wi = _dft_operands(cfg)
     pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
     if descramble:
         mask = scramble_dibit_mask()[:D].astype(np.float32)
@@ -1078,7 +1098,7 @@ def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
         peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram,
-        bvec=bvec)
+        bvec=bvec, cfo_dtype=cfg.cfo_dtype)
 
     out = pl.pallas_call(
         kern,

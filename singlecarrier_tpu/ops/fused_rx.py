@@ -54,10 +54,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModemConfig
 from ..constants import PREAMBLE_VALUES, scramble_dibit_mask
-from ..dsp.fftops import _dft_matrix
 from ..dsp.mixer import mixer_table
-from .decode_pallas import (_hunt_decode_core, _pnb_operand,
-                            _probe_out, _segment_band_matrix_lagtile,
+from .decode_pallas import (_dft_operands, _hunt_decode_core,
+                            _pnb_operand, _probe_out,
+                            _segment_band_matrix_lagtile,
                             _segment_band_matrix_smaj)
 from .frontend_pallas import (_decim_tap_matrix_aligned,
                               _decim_tap_matrix_folded, _fold_tables)
@@ -353,9 +353,7 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
             mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
             dtype=mdt)
 
-    wm = _dft_matrix(P, nfft)
-    wr = jnp.asarray(wm.real.reshape(1, P, nfft))
-    wi = jnp.asarray(wm.imag.reshape(1, P, nfft))
+    wr, wi = _dft_operands(cfg)
     pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
     if descramble:
         mask = scramble_dibit_mask()[:D].astype(np.float32)
@@ -392,6 +390,7 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
+        cfo_dtype=cfg.cfo_dtype,
         lag_tiles=lag_tiles, lag_kwin=lag_kwin, use_qring=use_qring)
 
     fixed_specs = [

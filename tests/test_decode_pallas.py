@@ -183,3 +183,44 @@ def test_fused_decode_descramble():
     got = out["dibits"][valid].astype(np.uint8)
     want = dibits.reshape(2, -1)
     assert np.array_equal(got, want)
+
+
+def test_cfo_bf16_decisions_match_f32():
+    """cfg.cfo_dtype="bf16" runs the CFO-search DFT matmuls in bf16
+    (full MXU rate, half the operand).  The peak bin and parabolic
+    delta are robust to the precision drop: all decode decisions and
+    payloads must match f32, and the CFO estimate must stay within a
+    fraction of a bin (rs/nfft = 9.4 Hz)."""
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, (2, CFG.ns, CFG.data_symbols * 2),
+                        dtype=np.uint8)
+    pcm = np.asarray(tx_stream(CFG, jnp.asarray(bits), flush_gap=True))
+    n = -(-len(pcm) // CFG.frame_size) + 1
+    buf = np.zeros(n * CFG.frame_size, np.int16)
+    buf[:len(pcm)] = pcm
+    frames = jnp.asarray(buf.reshape(n, CFG.frame_size))
+    pkts, peaks, lags = _extract_pkts(frames)
+    outs = {}
+    for cd in ("f32", "bf16"):
+        cfg = CFG.replace(cfo_dtype=cd)
+        o = fused_decode(cfg, jnp.asarray(pkts.real),
+                         jnp.asarray(pkts.imag), jnp.asarray(peaks),
+                         descramble=False,
+                         block_channels=pkts.shape[0], interpret=True)
+        outs[cd] = jax.tree.map(np.asarray, o)
+    assert np.array_equal(outs["f32"]["gated"], outs["bf16"]["gated"])
+    assert np.array_equal(outs["f32"]["matches"],
+                          outs["bf16"]["matches"])
+    v = outs["f32"]["gated"] & (
+        outs["f32"]["matches"] > CFG.match_threshold)
+    assert v.any()
+    assert np.array_equal(outs["f32"]["dibits"][v],
+                          outs["bf16"]["dibits"][v])
+    assert np.max(np.abs(outs["f32"]["cfo_hz"][v]
+                         - outs["bf16"]["cfo_hz"][v])) < 3.0
+
+
+def test_cfo_dtype_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        CFG.replace(cfo_dtype="fp8")

@@ -72,6 +72,9 @@ def main() -> None:
     ap.add_argument("--decim-dtype", default=None,
                     choices=[None, "f32", "bf16"],
                     help="override cfg.decim_dtype (plane-carry A/B)")
+    ap.add_argument("--cfo-dtype", default=None,
+                    choices=[None, "f32", "bf16"],
+                    help="override cfg.cfo_dtype")
     ap.add_argument("--hunt-dtype", default=None,
                     choices=[None, "bf16", "f32", "int8"],
                     help="override cfg.hunt_dtype")
@@ -95,6 +98,8 @@ def main() -> None:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
     if args.hunt_dtype:
         cfg = cfg.replace(hunt_dtype=args.hunt_dtype)
+    if args.cfo_dtype:
+        cfg = cfg.replace(cfo_dtype=args.cfo_dtype)
     if args.ls_gram:
         cfg = cfg.replace(ls_gram=args.ls_gram)
     from singlecarrier_tpu.modem import prod_rx_init

@@ -71,6 +71,11 @@ def main() -> int:
                     choices=[None, "f32", "bf16"],
                     help="override cfg.decim_dtype for the Pallas "
                          "paths (bf16 decim-plane carry gate)")
+    ap.add_argument("--cfo-dtype", default=None,
+                    choices=[None, "f32", "bf16"],
+                    help="override cfg.cfo_dtype (bf16 CFO-DFT "
+                         "matmuls in the Pallas decode; the XLA "
+                         "oracle's estimate_cfo is bf16 already)")
     ap.add_argument("--alpha", type=float, default=None,
                     help="override cfg.alpha (0.50 = the reference's "
                          "firwide build, qpsk.c:57-65) -- hardens the "
@@ -114,6 +119,8 @@ def main() -> int:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
     if args.hunt_dtype:
         cfg = cfg.replace(hunt_dtype=args.hunt_dtype)
+    if args.cfo_dtype:
+        cfg = cfg.replace(cfo_dtype=args.cfo_dtype)
     from singlecarrier_tpu.modem import prod_rx_init, tx_stream
     from singlecarrier_tpu.modem.rx_production import (
         prod_rx_batch, prod_rx_stream, prod_rx_stream_pallas)
@@ -213,6 +220,7 @@ def main() -> int:
         "frontend_dtype": cfg.frontend_dtype,
         "decim_dtype": cfg.decim_dtype,
         "hunt_dtype": cfg.hunt_dtype,
+        "cfo_dtype": cfg.cfo_dtype,
         "xla_packets_detected": int(out_x.valid.sum()),
         "expected_packets": C * args.packets,
         "paths": {},
