@@ -13,4 +13,12 @@ run 3600 python bench.py --synth-in-step
 run 3600 python bench.py --synth-in-step --channels 262144
 # parity gate for the bf16 CFO operating point (fused one-kernel path)
 run 3600 python tools/tpu_parity.py --fuse-frontend --hunt-dtype int8 --decim-dtype bf16 --cfo-dtype bf16 --out PARITY_TPU_CFO16.json
+# detection curves retry (traced-freq branch fixed: static freq)
+run 4800 python tools/detection_curves.py
+# streaming superstep K=8 datapoint (K=4 measured 5.19 vs batch 5.59)
+run 2400 python bench.py --mode production-scan --superstep 8
+# roofline retry at the memory-safe fe row count
+run 3600 python tools/roofline.py
+# one-kernel per-stage split at the bf16 CFO point (tail attribution)
+run 2400 python tools/profile_stages.py --one-kernel --channels 16384 --blocks 8 --decim-dtype bf16 --hunt-dtype int8 --cfo-dtype bf16
 echo "QUEUE2 DONE" >> /tmp/chipq2.log

@@ -116,7 +116,11 @@ def main() -> int:
         0, 2, (Cp, P, DEFAULT_CONFIG.ns,
                DEFAULT_CONFIG.data_symbols * 2), dtype=np.uint8)
 
-    @jax.jit
+    import functools
+
+    # freq_hz is STATIC (channel() branches on it in Python; one
+    # compile per CFO value, snr rides traced through awgn)
+    @functools.partial(jax.jit, static_argnames=("freq_hz",))
     def make_stream(bits_dev, key, snr_db, freq_hz):
         cfg = DEFAULT_CONFIG
         pcm = tx_stream(cfg, bits_dev, flush_gap=True, scramble=True)
@@ -137,7 +141,7 @@ def main() -> int:
             for f in cfos:
                 pcm = make_stream(jnp.asarray(bits),
                                   jax.random.PRNGKey(1),
-                                  jnp.float32(snr), jnp.float32(f))
+                                  jnp.float32(snr), float(f))
                 peak, energy, matches, lag, ph = run_stats(cfgs[hd],
                                                            pcm)
                 nb = peak.shape[0]

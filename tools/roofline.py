@@ -56,7 +56,11 @@ def main() -> None:
     ap.add_argument("--conservative", action="store_true",
                     help="parity defaults (f32 decim, bf16 hunt) "
                          "instead of the bench operating point")
-    ap.add_argument("--fe-rows", type=int, default=1048576)
+    # 1M fe rows OOMs: the STANDALONE front-end row materializes its
+    # decim planes in HBM (pcm 3.8 GB + planes 7.5 GB + copies >
+    # 15.75 GB); 524k fits and one dispatch still exceeds the ~30 ms
+    # floor before the chained slope is taken
+    ap.add_argument("--fe-rows", type=int, default=524288)
     ap.add_argument("--decode-rows", type=int, default=524288)
     ap.add_argument("--fused-channels", type=int, default=131072)
     ap.add_argument("--fused-blocks", type=int, default=8)
