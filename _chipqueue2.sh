@@ -13,6 +13,8 @@ run 3600 python bench.py --synth-in-step
 run 3600 python bench.py --synth-in-step --channels 262144
 # parity gate for the bf16 CFO operating point (fused one-kernel path)
 run 3600 python tools/tpu_parity.py --fuse-frontend --hunt-dtype int8 --decim-dtype bf16 --cfo-dtype bf16 --out PARITY_TPU_CFO16.json
+# BER through the one-kernel fused RX retry (tx now under jit), artifact
+run 7200 bash -c 'python -m singlecarrier_tpu ber --path fused_rx --hunt-dtype int8 --decim-dtype bf16 --snrs 2,3,4,5,6 --packets 6 --trials 8 | grep "^{" > BER_PALLAS.jsonl'
 # detection curves retry (traced-freq branch fixed: static freq)
 run 4800 python tools/detection_curves.py
 # streaming superstep K=8 datapoint (K=4 measured 5.19 vs batch 5.59)

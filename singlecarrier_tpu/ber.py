@@ -74,7 +74,10 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
     # UNIMPLEMENTED on bits after the demod jit ran; fresh buffers and
     # outputs transfer fine).
     ref = fetch(bits).reshape(n_packets, cfg.bits_per_frame)
-    pcm = tx_stream(cfg, bits, flush_gap=True)
+    # tx UNDER jit: eager complex intermediates (qpsk_mod's i + 1j*q)
+    # dispatch op-by-op and hit the axon backend's UNIMPLEMENTED
+    # complex kernels; inside jit the complex math compiles fine
+    pcm = jax.jit(lambda b: tx_stream(cfg, b, flush_gap=True))(bits)
 
     n_blocks = -(-pcm.shape[-1] // cfg.frame_size) + 1
     padded = jnp.zeros(n_blocks * cfg.frame_size, jnp.float32)
