@@ -1,0 +1,9 @@
+#!/bin/bash
+# Round-4 queue 3: capacity with state donation.
+cd /root/repo
+run() { echo "=== $(date +%H:%M:%S) ${@:2}" >> /tmp/chipq3.log; timeout "$1" "${@:2}" >> /tmp/chipq3.log 2>&1; echo "=== rc=$?" >> /tmp/chipq3.log; }
+# 1M headline with donated state (capacity is the goal; A/B for free)
+run 2400 python bench.py
+# 2M block-channel dispatch: synth-in-step + donated state
+run 3600 python bench.py --synth-in-step --channels 262144
+echo "QUEUE3 DONE" >> /tmp/chipq3.log

@@ -18,6 +18,7 @@ production ingest; the native IO engine covers that path separately).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -285,15 +286,22 @@ def main() -> None:
                         + out.eq_error.sum(),
                         out.valid.sum().astype(jnp.float32))
 
+        # state is DONATED: the chained carry aliases in-place instead
+        # of holding input+output plane buffers live simultaneously
+        # (3.9 GB at the 2M block-channel point; SCALING.md)
         if args.synth_in_step and not args.real_stream:
             # pcm is generated INSIDE the dispatch: the operand (and
             # the XLA memory-space copy feeding the custom call) never
-            # exists; the timed region includes the int16 RNG
-            @jax.jit
+            # exists.  MEASURED NULL for throughput at 1M (4.63 vs
+            # 6.00 GS/s -- the in-step threefry RNG costs ~97 ms/iter,
+            # the operand copy it removes costs nothing there); it is
+            # the capacity tool for the 2M dispatch, where a 7.5 GB
+            # pcm operand + its copy cannot fit
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def step(state, k):
                 return _demod(state, _synth_noise(k))
         else:
-            step = jax.jit(_demod)
+            step = jax.jit(_demod, donate_argnums=(0,))
 
         state = prod_rx_init_planes(cfg, C)
 
