@@ -6,4 +6,8 @@ run() { echo "=== $(date +%H:%M:%S) ${@:2}" >> /tmp/chipq3.log; timeout "$1" "${
 run 2400 python bench.py
 # 2M block-channel dispatch: synth-in-step + donated state
 run 3600 python bench.py --synth-in-step --channels 262144
+# 1M geometry A/B: deeper b-walk amortizes the per-channel-block
+# state flush; narrower channel set halves the carried planes
+run 2400 python bench.py --channels 65536 --blocks 16
+run 2400 python bench.py --channels 32768 --blocks 32
 echo "QUEUE3 DONE" >> /tmp/chipq3.log
