@@ -2,8 +2,11 @@
 # Round-4 queue 3: capacity with state donation.
 cd /root/repo
 run() { echo "=== $(date +%H:%M:%S) ${@:2}" >> /tmp/chipq3.log; timeout "$1" "${@:2}" >> /tmp/chipq3.log 2>&1; echo "=== rc=$?" >> /tmp/chipq3.log; }
-# 1M headline with donated state (capacity is the goal; A/B for free)
+# 1M headline with donated state + the chosen peak_gate=7.0
 run 2400 python bench.py
+# re-pin default + int8 parity at the chosen gate
+run 2400 python tools/tpu_parity.py --fuse-frontend
+run 2400 python tools/tpu_parity.py --fuse-frontend --hunt-dtype int8 --decim-dtype bf16 --out PARITY_TPU_INT8.json
 # 2M block-channel dispatch: synth-in-step + donated state
 run 3600 python bench.py --synth-in-step --channels 262144
 # 1M geometry A/B: deeper b-walk amortizes the per-channel-block

@@ -52,9 +52,20 @@ class ModemConfig:
     eof_cost_value: float = 5.0       # hunt-reentry cost    (qpsk_internal.h:28)
 
     # Production-RX extensions (no reference equivalent) ----------------------
-    peak_gate: float = 6.0        # corr peak must exceed gate*window energy
+    peak_gate: float = 7.0        # corr peak must exceed gate*window energy
                                   # (the reference's commented-out energy
-                                  # gate, qpsk.c:196)
+                                  # gate, qpsk.c:196).  CHOSEN from the
+                                  # measured Pfa/Pd sweep (DETECTION.md,
+                                  # tools/detection_curves.py): 7.0 cuts
+                                  # noise-only Pfa 1.0e-4 -> 3.8e-6 per
+                                  # block with ZERO measured Pd change
+                                  # at every SNR(2-8 dB) x CFO(0-40 Hz)
+                                  # point for both bf16 and int8 hunts
+                                  # (matches > match_threshold does the
+                                  # detecting; the gate only suppresses
+                                  # noise windows that fluke the chip-
+                                  # sign test).  Pfa hits 0/524288 at
+                                  # 8.0 if false alarms matter more
     corr_segments: int = 8        # non-coherent correlation segments
                                   # (CFO-tolerant hunt; 1 = reference's
                                   # coherent correlator)
