@@ -113,7 +113,9 @@ def main() -> None:
 
     # ---------------- fused front-end ----------------
     NF = args.fe_rows
-    pcm = jax.random.randint(key, (NF, n), -16384, 16384, jnp.int16)
+    pcm = jax.jit(
+        lambda k: jax.random.randint(k, (NF, n), -16384, 16384,
+                                     jnp.int16))(key)
     ph_r = jnp.ones((NF,), jnp.float32)
     ph_i = jnp.zeros((NF,), jnp.float32)
     tails = jnp.zeros((NF, halo), jnp.float32)
@@ -147,9 +149,16 @@ def main() -> None:
     })
 
     # ---------------- fused hunt+extract+decode ----------------
+    # free the front-end row's operands/outputs before allocating the
+    # decode windows (they OOM together), and generate UNDER jit so
+    # the f32 normal fuses into the bf16 convert (the eager path
+    # materializes a 15.8 GB f32 intermediate at 524k rows)
+    del pcm, ph_r, ph_i, tails
     ND = args.decode_rows
-    wt = (jax.random.normal(key, (cyc, 2, 2 * ND, n_sym), jnp.float32)
-          * 0.1).astype(ddt)
+    wt = jax.jit(
+        lambda k: (jax.random.normal(k, (cyc, 2, 2 * ND, n_sym),
+                                     jnp.float32) * 0.1).astype(ddt)
+    )(key)
 
     @jax.jit
     def hdec(w):
@@ -182,9 +191,13 @@ def main() -> None:
     })
 
     # ---------------- ONE-kernel fused RX ----------------
+    del wt
     B, C = args.fused_blocks, args.fused_channels
     NR = B * C
-    pcm2 = jax.random.randint(key, (NR, n), -16384, 16384, jnp.int16)
+    # under jit: eager randint materializes a 4x u32 intermediate
+    pcm2 = jax.jit(
+        lambda k: jax.random.randint(k, (NR, n), -16384, 16384,
+                                     jnp.int16))(key)
     state0 = prod_rx_init_planes(cfg, C)
 
     @jax.jit
