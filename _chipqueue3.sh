@@ -13,4 +13,6 @@ run 3600 python bench.py --synth-in-step --channels 262144
 # state flush; narrower channel set halves the carried planes
 run 2400 python bench.py --channels 65536 --blocks 16
 run 2400 python bench.py --channels 32768 --blocks 32
+# roofline retry: buffers freed between rows, RNG under jit
+run 4800 python tools/roofline.py
 echo "QUEUE3 DONE" >> /tmp/chipq3.log
