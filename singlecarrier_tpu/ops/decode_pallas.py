@@ -291,6 +291,18 @@ def _apply(pr, pi, cr, ci, L, count):
     return ar, ai
 
 
+def _apply_real(pr, pi, cr, ci, L, count):
+    """Real plane of ``_apply`` only (identical fp sequence for ar).
+
+    The train/refit guards consume just Re(eq): the preamble
+    sign-match count.  Skipping the imaginary accumulation halves the
+    guard-apply's wide ops."""
+    ar = jnp.zeros_like(pr[:, :count])
+    for i in range(L):
+        ar = ar + cr[i] * pr[:, i:i + count] - ci[i] * pi[:, i:i + count]
+    return ar
+
+
 def _cossin_small(x):
     """cos/sin via Taylor polynomials, valid for |x| <= ~0.8 rad.
 
@@ -416,7 +428,7 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
         bw = None
     cr, ci = _fit(win_r, win_i, pn, None, L, ls_reg, P, gram=gram,
                   bw=bw, pnb=pnb)
-    vr, _ = _apply(win_r, win_i, cr, ci, L, P)
+    vr = _apply_real(win_r, win_i, cr, ci, L, P)
     matches = _reduce_last((vr * pn > 0.0).astype(f32))
     if stage == "train":
         return _probe_out(out_ref, D, matches, *cr, *ci)
@@ -433,7 +445,7 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
         scale = mag_raw / mag_h
         cr2, ci2 = _fit(dat_r, dat_i, hr * scale, hh * scale, L,
                         1e-3, D, gram=gram)
-        vr2, _ = _apply(win_r, win_i, cr2, ci2, L, P)
+        vr2 = _apply_real(win_r, win_i, cr2, ci2, L, P)
         m2 = _reduce_last((vr2 * pn > 0.0).astype(f32))
         keep = (m2 >= matches).astype(f32)
         cr = [keep * a + (1.0 - keep) * b for a, b in zip(cr2, cr)]
