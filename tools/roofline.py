@@ -155,18 +155,22 @@ def main() -> None:
     # materializes a 15.8 GB f32 intermediate at 524k rows)
     del pcm, ph_r, ph_i, tails
     ND = args.decode_rows
-    wt = jax.jit(
-        lambda k: (jax.random.normal(k, (cyc, 2, 2 * ND, n_sym),
-                                     jnp.float32) * 0.1).astype(ddt)
-    )(key)
+    # prev/cur as SEPARATE operands: slicing one [.., 2*ND, ..] array
+    # inside the jit materializes two full copies feeding the custom
+    # call (7.9 GB at 524k rows -> OOM)
+    gen = jax.jit(
+        lambda k: (jax.random.normal(k, (cyc, 2, ND, n_sym),
+                                     jnp.float32) * 0.1).astype(ddt))
+    k1_, k2_ = jax.random.split(key)
+    wprev, wcur = gen(k1_), gen(k2_)
 
     @jax.jit
-    def hdec(w):
-        d = fused_hunt_decode_decim(cfg, w[:, :, :ND], w[:, :, ND:],
+    def hdec(wp_, wc_):
+        d = fused_hunt_decode_decim(cfg, wp_, wc_,
                                     channels=ND, block_channels=64)
         return d["eq_error"].sum() + d["lag"].sum().astype(jnp.float32)
 
-    dt = slope(hdec, wt)
+    dt = slope(hdec, wprev, wcur)
     n_lags_pad = -(-n_sym // 128) * 128
     lag_tiles = n_lags_pad // 128
     lag_kwin = 384
@@ -191,7 +195,7 @@ def main() -> None:
     })
 
     # ---------------- ONE-kernel fused RX ----------------
-    del wt
+    del wprev, wcur
     B, C = args.fused_blocks, args.fused_channels
     NR = B * C
     # under jit: eager randint materializes a 4x u32 intermediate
