@@ -42,7 +42,7 @@ def main() -> None:
                          "(production-scan), 1024 (faithful modes)")
     ap.add_argument("--blocks", type=int, default=None,
                     help="default: 64 (production), 8 otherwise")
-    ap.add_argument("--iters", type=int, default=8,
+    ap.add_argument("--iters", type=int, default=16,
                     help="timed chained steps (longer chain amortizes "
                          "the single end-sync further; steady-state "
                          "streaming model)")
