@@ -49,8 +49,11 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--fe-block", type=int, default=128,
                     help="front-end kernel channel block")
-    ap.add_argument("--decode-block", type=int, default=64,
-                    help="decode kernel channel block")
+    ap.add_argument("--decode-block", type=int, default=None,
+                    help="decode kernel channel block (default: the "
+                         "library's per-path sweet spot -- 128 for "
+                         "the one-kernel fused RX, 64 for the "
+                         "standalone decode kernel)")
     ap.add_argument("--segs-per-chunk", type=int, default=2,
                     help="hunt-matmul segments per column chunk")
     ap.add_argument("--decim-dtype", default=None,

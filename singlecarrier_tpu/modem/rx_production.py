@@ -583,7 +583,7 @@ def prod_rx_stream_superstep(cfg: ModemConfig, state, pcm_frames, *,
                              superstep: int = 4,
                              descramble: bool = True,
                              block_channels: int = 128,
-                             decode_block_channels: int = 64,
+                             decode_block_channels: int | None = None,
                              fuse_frontend: bool = False,
                              interpret: bool = False):
     """Streaming demod at BATCH-mode throughput: scan over K-block
@@ -629,7 +629,7 @@ def prod_rx_stream_superstep(cfg: ModemConfig, state, pcm_frames, *,
 
 def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
                   descramble: bool = True, block_channels: int = 128,
-                  decode_block_channels: int = 64,
+                  decode_block_channels: int | None = None,
                   segs_per_chunk: int = 2,
                   fuse_extract: bool = True, fuse_hunt: bool = True,
                   fuse_frontend: bool = False,
@@ -670,6 +670,13 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     halo = cfg.ntaps - 1
     n_sym = cfg.symbols_per_block
     inv_scale = 1.0 / cfg.tx_amplitude
+    if decode_block_channels is None:
+        # measured sweet spots differ per kernel: the ONE-kernel fused
+        # RX runs fastest at cb=128 (6.38 vs 6.13 GS/s at cb=64;
+        # cb=32 5.37, cb=256 5.47), while the standalone decode
+        # kernel's cb=128 is a 20x Mosaic pathology (ROADMAP r3) --
+        # keep 64 there
+        decode_block_channels = 128 if fuse_frontend else 64
 
     # ``state`` may be the public complex ProdRxState or the plane
     # tuple (prod_rx_init_planes); with planes the output state stays

@@ -208,7 +208,7 @@ def main() -> None:
     def onek(state, pcm):
         st, out = prod_rx_batch(
             cfg, state, pcm.reshape(B, C, n), block_channels=128,
-            decode_block_channels=64, fuse_frontend=True)
+            fuse_frontend=True)
         return st, out.eq_error.sum() + out.valid.sum()
 
     def onek_chain(state, pcm, k):
