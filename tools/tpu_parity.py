@@ -179,10 +179,15 @@ def main() -> int:
         @jax.jit
         def run_fused(pcm):
             fr = jnp.swapaxes(pcm, 0, 1)
+            # decode_block_channels omitted: follow the library's
+            # per-path default (cb=128 for the fused kernel) so the
+            # parity gate pins the SHIPPED Mosaic schedule; run with
+            # --channels >= 128 to exercise it at full width (values
+            # are cb-invariant -- per-row math -- but the schedule
+            # isn't)
             _, out = prod_rx_batch(cfg, prod_rx_init(cfg, (C,)), fr,
                                    descramble=True,
                                    block_channels=min(128, C),
-                                   decode_block_channels=min(64, C),
                                    fuse_frontend=True)
             return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), out)
         paths["fused_rx"] = jax.tree.map(np.asarray, run_fused(pcm))
