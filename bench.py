@@ -34,14 +34,14 @@ def main() -> None:
     # ~30 ms per-dispatch floor that must be amortized to measure the
     # device (production deployments dispatch locally/async).
     ap.add_argument("--channels", type=int, default=None,
-                    help="default: 16384 (production; with 64 blocks "
+                    help="default: 8192 (production; with 128 blocks "
                          "= the 1M block-channel dispatch in its best "
                          "measured geometry -- the deep time-walk "
                          "amortizes the per-channel-block ring seed "
                          "and state flush, SCALING.md), 16384 "
                          "(production-scan), 1024 (faithful modes)")
     ap.add_argument("--blocks", type=int, default=None,
-                    help="default: 64 (production), 8 otherwise")
+                    help="default: 128 (production), 8 otherwise")
     ap.add_argument("--iters", type=int, default=16,
                     help="timed chained steps (longer chain amortizes "
                          "the single end-sync further; steady-state "
@@ -134,12 +134,12 @@ def main() -> None:
 
     from singlecarrier_tpu.config import DEFAULT_CONFIG as cfg
     if args.channels is None:
-        args.channels = {"production": 16384,
+        args.channels = {"production": 8192,
                          "production-scan": 16384,
                          "faithful": 1024,
                          "faithful-blocked": 1024}[args.mode]
     if args.blocks is None:
-        args.blocks = 64 if args.mode == "production" else 8
+        args.blocks = 128 if args.mode == "production" else 8
     if args.fuse_frontend is None and args.mode == "production":
         # headline path: the ONE-kernel fused RX (ops/fused_rx.py) --
         # zero decim-plane HBM traffic; unlocks the 1M block-channel
