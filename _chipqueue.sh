@@ -18,7 +18,9 @@ run 2400 python tools/tpu_parity.py --alpha 0.5 --scan-pallas --out PARITY_TPU_W
 # roofline, detector curves, BER through the fused kernel
 run 4800 python tools/roofline.py
 run 4800 python tools/detection_curves.py
-run 7200 bash -c 'python -m singlecarrier_tpu ber --path fused_rx --hunt-dtype int8 --decim-dtype bf16 --snrs 2,3,4,5,6 --packets 6 --trials 8 | grep "^{" > BER_PALLAS.jsonl'
+# 64 trials x 10 packets = 317k bits/point: >=100 errors down to the
+# 6 dB point (theory 8e-4) for real binomial CIs (VERDICT r4 #4)
+run 7200 bash -c 'python -m singlecarrier_tpu ber --path fused_rx --hunt-dtype int8 --decim-dtype bf16 --snrs 2,3,4,5,6 --packets 10 --trials 64 | grep "^{" > BER_PALLAS.jsonl'
 # streaming-mode datapoints (scan / superstep / batch at one geometry)
 run 2400 python bench.py --mode production-scan
 run 2400 python bench.py --mode production-scan --superstep 8

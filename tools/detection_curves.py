@@ -2,11 +2,12 @@
 """Detector operating-point characterization: Pfa / Pd curves.
 
 The reference's energy gate is commented out (reference:
-src/qpsk.c:196); the production RX added ``cfg.peak_gate`` (default
-6.0) without a committed characterization (VERDICT r3 missing #4).
-This tool measures, on hardware:
+src/qpsk.c:196); the production RX added ``cfg.peak_gate`` without a
+committed characterization (VERDICT r3 missing #4).  This tool
+measures, on hardware:
 
-  * false-alarm probability per block on pure noise (Pfa), and
+  * false-alarm probability per block on pure noise (Pfa), with
+    Wilson 95% intervals, and
   * detection probability on real modulated packets (Pd) across
     SNR x CFO,
 
@@ -16,8 +17,21 @@ per (stream, dtype) evaluates every gate value host-side with the
 exact in-kernel criterion: valid = (peak > energy*gate) &
 (matches > match_threshold).
 
-Writes DETECTION.json; tools/render_detection.py (inline here) emits
-the DETECTION.md summary.
+Measured through the SHIPPED path by default -- the ONE-kernel fused
+RX (prod_rx_batch fuse_frontend=True, int8 qring, cb=128), the same
+kernel bench.py times (VERDICT r4 weak #1: the previous
+characterization ran the two-kernel pipeline while the bench shipped
+the fused kernel, and their Pfa disagreed 13-vs-2 per 1M blocks).
+``--path two-kernel`` keeps the old surface for A/B.
+
+``--segments`` sweeps ``cfg.corr_segments`` (the CFO tolerance /
+noise-averaging tradeoff of the segmented non-coherent hunt) over the
+Pd grid -- the knob VERDICT r4 #5 asks to attack the 40 Hz CFO floor
+with: 16-chip segments (n_seg=8) lose ~2.4 dB of correlation power at
+40 Hz (coherent-integration loss sinc^2(f*T_seg)), 8-chip segments
+(n_seg=16) only ~0.6 dB.
+
+Writes DETECTION.json + the DETECTION.md summary.
 
 Run from the repo root WITHOUT PYTHONPATH (axon discovery).
 """
@@ -36,14 +50,42 @@ import json
 GATES = [3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0]
 
 
+def _wilson(k: int, n: int, z: float = 1.96):
+    import math
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    d = 1.0 + z * z / n
+    c = (p + z * z / (2 * n)) / d
+    h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / d
+    return (max(c - h, 0.0), min(c + h, 1.0))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
+    # 65536 x 16 = 1,048,576 noise blocks = the bench dispatch size:
+    # at Pfa ~1e-5 that is ~13 events, enough for a meaningful CI at
+    # the shipped gate (VERDICT r4 #3: the old 524288-block run left
+    # gate-7/8 Pfa with 1-2 events)
     ap.add_argument("--noise-channels", type=int, default=65536)
-    ap.add_argument("--noise-blocks", type=int, default=8)
+    ap.add_argument("--noise-blocks", type=int, default=16)
     ap.add_argument("--pd-channels", type=int, default=256)
     ap.add_argument("--pd-packets", type=int, default=6)
     ap.add_argument("--snrs", default="2,3,4,5,6,8")
     ap.add_argument("--cfos", default="0,20,40")
+    ap.add_argument("--path", default="fused",
+                    choices=["fused", "two-kernel"],
+                    help="fused = the shipped ONE-kernel RX "
+                         "(bench.py's kernel); two-kernel = the "
+                         "round-4 characterization surface")
+    ap.add_argument("--segments", default=None,
+                    help="comma list of corr_segments values to sweep "
+                         "over the Pd grid (e.g. 8,16,32); adds a "
+                         "high-CFO segment-sweep section")
+    ap.add_argument("--seg-cfos", default="30,40,50",
+                    help="CFO grid for the --segments sweep")
+    ap.add_argument("--seg-snrs", default="2,4,6",
+                    help="SNR grid for the --segments sweep")
     ap.add_argument("--out", default="DETECTION.json")
     ap.add_argument("--md", default="DETECTION.md")
     args = ap.parse_args()
@@ -60,8 +102,10 @@ def main() -> int:
     from singlecarrier_tpu.modem import (prod_rx_init_planes, tx_stream)
     from singlecarrier_tpu.modem.rx_production import prod_rx_batch
 
+    fused = args.path == "fused"
     report = {"device": str(jax.devices()[0]),
               "match_threshold": DEFAULT_CONFIG.match_threshold,
+              "path": args.path,
               "gates": GATES, "pfa": {}, "pd": {}}
 
     def run_stats(cfg, pcm_frames):
@@ -71,25 +115,36 @@ def main() -> int:
         @jax.jit
         def step(pcm):
             st = prod_rx_init_planes(cfg, C)
+            # decode_block_channels=None: follow the library's
+            # per-path default (cb=128 fused / 64 two-kernel) so the
+            # characterization pins the SHIPPED Mosaic schedule
             _, out = prod_rx_batch(cfg, st, pcm,
                                    block_channels=min(128, C),
-                                   decode_block_channels=min(64, C))
+                                   fuse_frontend=fused)
             return (out.peak, out.energy, out.matches, out.lag,
                     out.timing_phase)
         return [np.asarray(x) for x in step(pcm_frames)]
 
     # ---------------- Pfa on pure noise ----------------
+    # Identical synthesis to bench.py's noise stream (random.bits +
+    # bitcast, >>1 for the +-16384 convention; per-block lax.map keeps
+    # the u32 intermediate at 1/B of the stream) so the measured Pfa
+    # is directly comparable to the bench's own false-detect count.
+    from jax import lax
+
     B, C = args.noise_blocks, args.noise_channels
     for hd in ("bf16", "int8"):
         cfg = DEFAULT_CONFIG.replace(hunt_dtype=hd, decim_dtype="bf16")
 
         @jax.jit
         def noise(key):
-            u = jax.random.bits(
-                key, (B, C, cfg.frame_size // 2), jnp.uint32)
-            x = jax.lax.bitcast_convert_type(u, jnp.int16).reshape(
-                B, C, cfg.frame_size)
-            return (x >> 1).astype(jnp.int16)
+            def one(k):
+                u = jax.random.bits(k, (C, cfg.frame_size // 2),
+                                    jnp.uint32)
+                x = lax.bitcast_convert_type(u, jnp.int16).reshape(
+                    C, cfg.frame_size)
+                return (x >> 1).astype(jnp.int16)
+            return lax.map(one, jax.random.split(key, B))
 
         peak, energy, matches, _, _ = run_stats(
             cfg, noise(jax.random.PRNGKey(7)))
@@ -98,8 +153,10 @@ def main() -> int:
         for g in GATES:
             fa = int(((peak > energy * g)
                       & (matches > cfg.match_threshold)).sum())
+            lo, hi = _wilson(fa, n_blocks)
             row[str(g)] = {"false_alarms": fa, "blocks": n_blocks,
-                           "pfa": fa / n_blocks}
+                           "pfa": fa / n_blocks,
+                           "pfa_ci95": [lo, hi]}
         report["pfa"][hd] = row
         print("pfa", hd, {g: r["pfa"] for g, r in row.items()},
               flush=True)
@@ -178,14 +235,98 @@ def main() -> int:
                       {g: round(r["pd"], 4) for g, r in row.items()},
                       flush=True)
 
+    # ---------------- corr_segments sweep at high CFO ----------------
+    def pd_at(cfg, pcm):
+        """Position-matched Pd at the SHIPPED gate for one config
+        (effective = segment-normalized; config.effective_peak_gate)."""
+        peak, energy, matches, lag, ph = run_stats(cfg, pcm)
+        valid = ((peak > energy * cfg.effective_peak_gate)
+                 & (matches > cfg.match_threshold))
+        det = 0
+        spur = 0
+        for c in range(Cp):
+            assigned = {}
+            for fr in np.nonzero(valid[:, c])[0]:
+                pos = ((int(fr) - 1) * cfg.frame_size
+                       + int(lag[fr, c]) * cfg.cycles
+                       + int(ph[fr, c]))
+                p = int(round(pos / cfg.packet_size))
+                perr = abs(pos - p * cfg.packet_size)
+                if not 0 <= p < P or perr > cfg.packet_size // 4:
+                    spur += 1
+                    continue
+                if p in assigned:
+                    spur += 1
+                else:
+                    assigned[p] = fr
+            det += len(assigned)
+        return det, spur
+
+    if args.segments:
+        segs = [int(s) for s in args.segments.split(",")]
+        seg_snrs = [float(s) for s in args.seg_snrs.split(",")]
+        seg_cfos = [float(f) for f in args.seg_cfos.split(",")]
+        report["segment_sweep"] = {
+            "segments": segs, "snrs": seg_snrs, "cfos": seg_cfos,
+            "hunt_dtype": "int8", "gate": DEFAULT_CONFIG.peak_gate,
+            "pd": {}, "pfa": {}}
+        for s in segs:
+            scfg = DEFAULT_CONFIG.replace(
+                hunt_dtype="int8", decim_dtype="bf16",
+                corr_segments=s)
+            # noise Pfa at the effective (segment-normalized) gate --
+            # shorter segments may discriminate noise differently, so
+            # the Pd gain must be priced in Pfa too
+            Bn = max(2, args.noise_blocks // 4)
+
+            @jax.jit
+            def noise_s(key):
+                def one(k):
+                    u = jax.random.bits(
+                        k, (C, scfg.frame_size // 2), jnp.uint32)
+                    x = lax.bitcast_convert_type(
+                        u, jnp.int16).reshape(C, scfg.frame_size)
+                    return (x >> 1).astype(jnp.int16)
+                return lax.map(one, jax.random.split(key, Bn))
+
+            pk, en, mt, _, _ = run_stats(scfg,
+                                         noise_s(jax.random.PRNGKey(7)))
+            fa = int(((pk > en * scfg.effective_peak_gate)
+                      & (mt > scfg.match_threshold)).sum())
+            lo, hi = _wilson(fa, pk.size)
+            report["segment_sweep"]["pfa"][str(s)] = {
+                "false_alarms": fa, "blocks": int(pk.size),
+                "pfa": fa / pk.size, "pfa_ci95": [lo, hi],
+                "effective_gate": scfg.effective_peak_gate}
+            print("seg-pfa", s, fa, "/", pk.size, flush=True)
+            for snr in seg_snrs:
+                for f in seg_cfos:
+                    pcm = make_stream(jnp.asarray(bits),
+                                      jax.random.PRNGKey(1),
+                                      jnp.float32(snr), float(f))
+                    det, spur = pd_at(scfg, pcm)
+                    key = f"seg{s}_snr{snr}_cfo{f}"
+                    lo, hi = _wilson(det, Cp * P)
+                    report["segment_sweep"]["pd"][key] = {
+                        "detected": det, "expected": Cp * P,
+                        "pd": det / (Cp * P), "pd_ci95": [lo, hi],
+                        "spurious": spur}
+                    print("seg", s, snr, f,
+                          round(det / (Cp * P), 4), flush=True)
+
     with open(args.out, "w") as fo:
         json.dump(report, fo, indent=1)
 
     # ---------------- DETECTION.md ----------------
+    pathdesc = ("the SHIPPED ONE-kernel fused RX (prod_rx_batch "
+                "fuse_frontend=True, the kernel bench.py times)"
+                if fused else
+                "the two-kernel pipeline (NOT the bench default)")
     lines = [
         "# Detector operating point (measured on hardware)",
         "",
-        f"Device: {report['device']}.  Criterion: "
+        f"Device: {report['device']}.  Measured through {pathdesc}.  "
+        "Criterion: "
         "`valid = (corr_peak > gate * window_energy) & "
         f"(matches > {report['match_threshold']})` -- the energy gate "
         "the reference comments out (qpsk.c:196) plus its match "
@@ -193,7 +334,8 @@ def main() -> int:
         "gate from the kernel's returned statistics.",
         "",
         "## False-alarm probability per block (pure noise, "
-        f"{args.noise_channels * args.noise_blocks} blocks)",
+        f"{args.noise_channels * args.noise_blocks} blocks, "
+        "bench-identical synthesis; Wilson 95% CI)",
         "",
         "| gate | " + " | ".join(f"Pfa {hd}" for hd in report["pfa"])
         + " |",
@@ -203,7 +345,9 @@ def main() -> int:
         cells = []
         for hd in report["pfa"]:
             r = report["pfa"][hd][str(g)]
-            cells.append(f"{r['pfa']:.2e} ({r['false_alarms']})")
+            lo, hi = r.get("pfa_ci95", (0, 0))
+            cells.append(f"{r['pfa']:.2e} ({r['false_alarms']}; "
+                         f"CI {lo:.1e}-{hi:.1e})")
         lines.append(f"| {g} | " + " | ".join(cells) + " |")
     lines += [
         "",
@@ -223,13 +367,56 @@ def main() -> int:
                 lines.append(f"| {snr} | {f} | " + " | ".join(cells)
                              + " |")
         lines.append("")
+    if "segment_sweep" in report:
+        ss = report["segment_sweep"]
+        lines += [
+            "## corr_segments sweep at high CFO "
+            f"(hunt int8, base gate {ss['gate']} segment-normalized "
+            "to config.effective_peak_gate; Wilson 95% CI)",
+            "",
+            "Shorter segments tolerate more CFO (coherent-integration "
+            "loss sinc^2(f*T_seg): 16-chip segments lose ~2.4 dB at "
+            "40 Hz, 8-chip ~0.6 dB) at the cost of non-coherent "
+            "combining loss and a wider hunt band matrix "
+            "(throughput cost measured in bench.py --corr-segments).  "
+            "n_seg=32 (4-chip segments) DEGENERATES: the statistic "
+            "loses discrimination against the full-amplitude random "
+            "data symbols and the argmax lands on data-driven "
+            "sidelobes even on a clean channel (0/3 clean detections, "
+            "measured on CPU) -- excluded from the on-chip sweep.",
+            "",
+            "Noise Pfa at each segment count's effective gate: " +
+            ", ".join(
+                f"n_seg={s}: {r['pfa']:.2e} ({r['false_alarms']}/"
+                f"{r['blocks']}, gate {r['effective_gate']:g})"
+                for s, r in ss.get("pfa", {}).items()) + ".",
+            "",
+            "| SNR dB | CFO Hz | " +
+            " | ".join(f"n_seg={s}" for s in ss["segments"]) + " |",
+            "|---|---|" + "---|" * len(ss["segments"]),
+        ]
+        for snr in ss["snrs"]:
+            for f in ss["cfos"]:
+                cells = []
+                for s in ss["segments"]:
+                    r = ss["pd"][f"seg{s}_snr{snr}_cfo{f}"]
+                    cells.append(f"{r['pd']:.3f}")
+                lines.append(f"| {snr} | {f} | " + " | ".join(cells)
+                             + " |")
+        lines.append("")
+    cfgd_now = DEFAULT_CONFIG
     lines += [
         "## Chosen operating point",
         "",
-        "`peak_gate = 6.0` (config.py default): see the tables -- the "
-        "gate column g=6 row-by-row.  Raising the gate trades residual "
-        "noise false alarms against low-SNR detection; the curves "
-        "above make that trade explicit per hunt dtype.",
+        f"`peak_gate = {cfgd_now.peak_gate}` / `corr_segments = "
+        f"{cfgd_now.corr_segments}` (config.py defaults): read the "
+        f"g={cfgd_now.peak_gate:g} column row-by-row.  Raising the "
+        "gate trades residual noise false alarms against low-SNR "
+        "detection margin; the curves above make that trade explicit "
+        "per hunt dtype.  This characterization and the bench's own "
+        "false-detect count now come from the same kernel and the "
+        "same noise synthesis, so the bench's observed rate must sit "
+        "inside the Pfa CI of its gate row.",
         "",
     ]
     with open(args.md, "w") as fo:

@@ -39,7 +39,10 @@ import sys
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--channels", type=int, default=64)
+    # Default 128 channels so the parity invariant exercises the
+    # SHIPPED fused Mosaic schedule (cb = min(128, C); the queue's
+    # regen runs would otherwise silently pin cb=64 -- ADVICE r4).
+    ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--packets", type=int, default=6)
     ap.add_argument("--snr-db", type=float, default=12.0)
     ap.add_argument("--freq-hz", type=float, default=15.0)
@@ -172,9 +175,19 @@ def main() -> int:
     else:
         with jax.default_matmul_precision(args.xla_precision):
             out_x = jax.tree.map(np.asarray, run_xla(pcm))
-    out_b = jax.tree.map(np.asarray, run_batch(pcm))
 
-    paths = {"batch_pallas": out_b}
+    paths = {}
+    if cfg.frac_timing:
+        # The batch paths run integer timing only and now REJECT a
+        # frac_timing config (rx_production.prod_rx_batch); the frac
+        # parity surface is the streaming scan body, which supports it.
+        if not args.scan_pallas:
+            print("frac_timing: batch paths unsupported; forcing "
+                  "--scan-pallas", file=sys.stderr)
+            args.scan_pallas = True
+        args.fuse_frontend = False
+    else:
+        paths["batch_pallas"] = jax.tree.map(np.asarray, run_batch(pcm))
     if args.fuse_frontend:
         @jax.jit
         def run_fused(pcm):
