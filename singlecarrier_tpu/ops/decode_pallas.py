@@ -375,6 +375,17 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
     chips_i = pi0[:, off:off + P]
     energy = _reduce_last(chips_r * chips_r + chips_i * chips_i)
     gated = peak > energy * peak_gate                   # [cb, 1]
+    if stage == "gate":
+        # Phase 1 of the detection-gated two-phase decode
+        # (tools/gated_decode_bench.py): REAL stats, not a DCE probe --
+        # the full hunt + extraction + energy gate run, the decode tail
+        # (CFO/derot/train/refit/refine/descramble, ~half the fused
+        # kernel) is skipped.  The caller appends lag/phase/peak into
+        # D+5..D+7 exactly like the full path.
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[:, D + 3:D + 4] = gated.astype(jnp.float32)
+        out_ref[:, D + 4:D + 5] = energy
+        return
 
     # ---- CFO search: DFT matmul + one-hot parabolic peak ----
     f32 = jnp.float32
@@ -808,7 +819,7 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
                  refit_iters=refit_iters, refine_iters=refine_iters,
                  gram=gram, bvec=bvec, cfo_dtype=cfo_dtype, stage=stage)
-    if stage != "full":
+    if stage not in ("full", "gate"):
         return
     # hunt results ride the same fat output (slots D+5..D+7; the core
     # zeroed them above).
