@@ -91,6 +91,11 @@ def main() -> None:
                          "knob: more/shorter segments widen the hunt "
                          "band matrix -- throughput cost of the "
                          "DETECTION.md segment sweep)")
+    ap.add_argument("--hunt-norm", default=None,
+                    choices=[None, "energy", "none"],
+                    help="override cfg.hunt_norm (energy-normalized "
+                         "hunt argmax; 'none' = the round<=4 "
+                         "raw-power statistic, for the A/B cost)")
     ap.add_argument("--fuse-frontend", type=int, default=None,
                     choices=[0, 1],
                     help="ONE-kernel RX (ops/fused_rx.py): front-end "
@@ -182,6 +187,8 @@ def main() -> None:
         cfg = cfg.replace(ls_bvec=args.ls_bvec)
     if args.corr_segments:
         cfg = cfg.replace(corr_segments=args.corr_segments)
+    if args.hunt_norm:
+        cfg = cfg.replace(hunt_norm=args.hunt_norm)
 
     C, B = args.channels, args.blocks
 

@@ -154,6 +154,32 @@ class ModemConfig:
                                   # throughput deployments (on-chip
                                   # parity gate: tools/tpu_parity.py
                                   # --decim-dtype bf16)
+    hunt_norm: str = "energy"     # hunt argmax statistic ("energy" |
+                                  # "none").  "energy" (default since
+                                  # round 5) normalizes the segmented
+                                  # correlation power by the per-lag
+                                  # window energy before the argmax --
+                                  # a CFAR-style normalized matched
+                                  # filter.  Mechanism it fixes
+                                  # (measured, DETECTION.md v2): the
+                                  # DATA sections transmit at 2x the
+                                  # preamble amplitude (qpsk.c:313-319)
+                                  # so their correlation sidelobes
+                                  # out-compete the true peak once CFO
+                                  # decoherence costs it ~2.4 dB --
+                                  # at 40 Hz the raw-power argmax
+                                  # missed 8-21% of packets into
+                                  # mid-packet sidelobes (observed
+                                  # ratio 3.8-5.7 vs the true peak's
+                                  # 9.2).  Normalization penalizes
+                                  # high-energy lags 6 dB and restores
+                                  # Pd at the CFO edge; the final
+                                  # peak>gate*energy criterion is
+                                  # UNCHANGED (peak stays raw power at
+                                  # the chosen lag).  "none" keeps the
+                                  # raw-power argmax (round<=4
+                                  # behavior) for A/B + parity
+                                  # archaeology
     hunt_scheme: str = "lagtile"  # in-kernel hunt matmul schedule:
                                   # "lagtile" (default) = one matmul
                                   # per 128-lag tile against its K=384
@@ -355,6 +381,9 @@ class ModemConfig:
             raise ValueError(
                 f"hunt_scheme must be chunk|lagtile, got "
                 f"{self.hunt_scheme}")
+        if self.hunt_norm not in ("energy", "none"):
+            raise ValueError(
+                f"hunt_norm must be energy|none, got {self.hunt_norm}")
         if self.preamble_length > self.symbols_per_block:
             raise ValueError(
                 f"preamble_length ({self.preamble_length}) must be <= "

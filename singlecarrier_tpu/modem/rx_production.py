@@ -144,6 +144,40 @@ def _segment_band_matrix(n_lags: int, n_segments: int, p: int):
     return b
 
 
+@functools.lru_cache(maxsize=8)
+def _energy_band_matrix(n_lags: int, p: int):
+    """Ones band E[w, l] = 1 for l <= w < l + p: contracting the
+    squared-magnitude planes against it gives the per-lag window
+    energy (the denominator of the hunt_norm="energy" statistic)."""
+    win = n_lags + p - 1
+    b = np.zeros((win, n_lags), np.float32)
+    for l in range(n_lags):
+        b[l:l + p, l] = 1.0
+    return b
+
+
+def _hunt_metric(cfg: ModemConfig, power, sq):
+    """Hunt argmax statistic from the raw segmented power.
+
+    ``power``: [..., cyc, n_lags]; ``sq``: squared window magnitude
+    [..., cyc, >=n_lags+p-1].  With cfg.hunt_norm == "energy" the
+    statistic is power / window-energy per lag (see config.hunt_norm);
+    "none" returns the raw power.  The argmax consumer reads PEAK as
+    raw power at the chosen lag either way -- the gate semantics never
+    change.
+    """
+    if cfg.hunt_norm != "energy":
+        return power
+    # f32 contraction, matching the kernel's (measured: bf16 energy
+    # operands are SLOWER in the issue-bound fused kernel -- the cast
+    # wide ops outweigh the MXU-rate win; decode_pallas notes).
+    eband = jnp.asarray(_energy_band_matrix(cfg.symbols_per_block,
+                                            cfg.preamble_length))
+    energy = jnp.matmul(sq.astype(jnp.float32), eband,
+                        preferred_element_type=jnp.float32)
+    return power / (energy + jnp.float32(1e-12))
+
+
 def _hunt_corr(cfg: ModemConfig, planes, mat):
     """Correlation matmul in ``cfg.hunt_dtype`` (shared by the _hunt
     variants; the Pallas kernel mirrors this math in
@@ -204,9 +238,12 @@ def _hunt(cfg: ModemConfig, windows):
     corr = corr.reshape(*batch_shape, cyc, 2, n_lags, n_seg)
     power = _hunt_power_scale(cfg) * (corr * corr).sum(
         axis=(-3, -1))                                 # [B, cyc, lags]
+    metric = _hunt_metric(cfg, power,
+                          w.real * w.real + w.imag * w.imag)
 
+    flat_m = metric.reshape(*batch_shape, -1)
+    idx = jnp.argmax(flat_m, axis=-1)
     flat = power.reshape(*batch_shape, -1)
-    idx = jnp.argmax(flat, axis=-1)
     peak = jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]
     phase_idx = (idx // n_lags).astype(jnp.int32)
     lag = (idx % n_lags).astype(jnp.int32)
@@ -438,9 +475,13 @@ def _hunt_planes(cfg: ModemConfig, windows, *, col_offset: int = 0):
     corr = corr.reshape(C, cyc, 2, n_lags, n_seg)
     power = _hunt_power_scale(cfg) * (corr * corr).sum(
         axis=(-3, -1))                                 # [C, cyc, lags]
+    metric = _hunt_metric(cfg, power,
+                          w[:, :, 0] * w[:, :, 0]
+                          + w[:, :, 1] * w[:, :, 1])
 
+    flat_m = metric.reshape(C, -1)
+    idx = jnp.argmax(flat_m, axis=-1)
     flat = power.reshape(C, -1)
-    idx = jnp.argmax(flat, axis=-1)
     peak = jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]
     phase_idx = (idx // n_lags).astype(jnp.int32)
     lag = (idx % n_lags).astype(jnp.int32)

@@ -108,6 +108,34 @@ def _reduce_last(x):
     return jnp.sum(x, axis=-1, keepdims=True)          # [cb, 1]
 
 
+@functools.lru_cache(maxsize=8)
+def _energy_band_smaj(n_lags: int, n_lags_pad: int, p: int, off: int,
+                      klen_pad: int = 0):
+    """Ones band for the per-lag window ENERGY (hunt_norm="energy"
+    denominator): E[off + l + k, l] = 1 for k < p.  Same row
+    conventions as _segment_band_matrix_smaj.  Pad lag columns are
+    zero -> zero energy -> zero normalized metric (never win)."""
+    klen = max(off + n_lags + p - 1, klen_pad)
+    b = np.zeros((klen, n_lags_pad), np.float32)
+    for l in range(n_lags):
+        b[off + l:off + l + p, l] = 1.0
+    return b
+
+
+@functools.lru_cache(maxsize=8)
+def _energy_band_lagtile(n_lags: int, p: int, off: int,
+                         tile: int = 128, kwin: int = 384):
+    """Lag-tiled ones band for the window energy (the lagtile-schedule
+    counterpart of _energy_band_smaj; same x-slices as
+    _segment_band_matrix_lagtile)."""
+    n_tiles = -(-n_lags // tile)
+    b = np.zeros((n_tiles, kwin, tile), np.float32)
+    for t in range(n_tiles):
+        for ll in range(min(tile, n_lags - t * tile)):
+            b[t, off + ll:off + ll + p, ll] = 1.0
+    return b
+
+
 @functools.lru_cache(maxsize=4)
 def _pn_bvec_band(p: int, L: int, kb: int):
     """Banded PN matrix for the TRAIN b-vector as ONE MXU matmul.
@@ -652,7 +680,7 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
     }
 
 
-def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
+def _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref, pn_ref,
                       pnb_ref, mask_ref, out_ref, *, cyc, wp, pkt_len,
                       n_lags, n_lags_pad, segs_per_chunk, n_chunks,
                       klen, P, D, L, off, nfft, rs, peak_gate, ls_reg,
@@ -660,7 +688,8 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                       hunt_scale, gram: str = "direct",
                       bvec: str = "reduce", cfo_dtype: str = "f32",
                       lag_tiles: int = 0, lag_kwin: int = 384,
-                      qwins=None, stage: str = "full"):
+                      qwins=None, hunt_norm: str = "none",
+                      stage: str = "full"):
     """Hunt + extract + decode, fully fused.
 
     Replaces the XLA hunt stage (rx_production._hunt_planes), whose
@@ -762,16 +791,52 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
                                     (s + 1) * n_lags_pad]
                 pw[c] = acc
 
+    # hunt_norm="energy": per-lag window energy (f32 band matmuls
+    # mirroring rx_production._hunt_metric) normalizes the argmax
+    # statistic; PEAK stays raw power at the chosen lag (gate
+    # semantics unchanged -- config.hunt_norm)
+    en = None
+    if hunt_norm == "energy":
+        # f32 band matmuls mirroring the XLA _hunt_metric contraction.
+        # Measured variants at the bench geometry (don't redo): this
+        # per-phase f32 form costs 5% of the pipeline (6.40 -> 6.08
+        # GS/s); bf16 operands are SLOWER (5.94-5.97 -- the cast wide
+        # ops and mixed-precision relayouts outweigh the MXU-rate win
+        # in this issue-bound kernel), as is batching all phases into
+        # one matmul via a sublane concat; the one-hot raw-peak
+        # readback below is free (5.97 with it stubbed out).
+        en = []
+        for c in range(cyc):
+            sq = (wins[c][0].astype(f32) * wins[c][0].astype(f32)
+                  + wins[c][1].astype(f32) * wins[c][1].astype(f32))
+            if lag_tiles:
+                tiles = [
+                    jnp.dot(sq[:, t * 128:t * 128 + lag_kwin],
+                            eband_ref[t], preferred_element_type=f32)
+                    for t in range(lag_tiles)]
+                en.append(jnp.concatenate(tiles, axis=1))
+            else:
+                en.append(jnp.dot(sq[:, :klen], eband_ref[...],
+                                  preferred_element_type=f32))
+
     # argmax over (phase, lag): per-phase lane argmax + running best
     # with strict > across ascending phases == XLA's first-max flat
-    # argmax over the phase-major [cyc, n_lags] power array.
+    # argmax over the phase-major [cyc, n_lags] metric array.
+    best_m = jnp.full((cb, 1), -1.0, f32)
     best_pk = jnp.full((cb, 1), -1.0, f32)
     best_lag = jnp.zeros((cb, 1), jnp.int32)
     best_ph = jnp.zeros((cb, 1), jnp.int32)
     for c in range(cyc):
-        pk = jnp.max(pw[c], axis=-1, keepdims=True)
-        idx = jnp.argmax(pw[c], axis=-1, keepdims=True).astype(jnp.int32)
-        upd = pk > best_pk
+        stat = pw[c] if en is None else pw[c] / (en[c] + f32(1e-12))
+        mx = jnp.max(stat, axis=-1, keepdims=True)
+        idx = jnp.argmax(stat, axis=-1, keepdims=True).astype(jnp.int32)
+        if en is None:
+            pk = mx
+        else:
+            cols = lax.broadcasted_iota(jnp.int32, pw[c].shape, 1)
+            pk = _reduce_last(pw[c] * (cols == idx).astype(f32))
+        upd = mx > best_m
+        best_m = jnp.where(upd, mx, best_m)
         best_pk = jnp.where(upd, pk, best_pk)
         best_lag = jnp.where(upd, idx, best_lag)
         best_ph = jnp.where(upd, jnp.int32(c), best_ph)
@@ -829,9 +894,9 @@ def _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref,
 
 
 def _hunt_decode_decim_kernel(prev0_ref, curprev_ref, cur_ref, mat_ref,
-                              wr_ref, wi_ref, pn_ref, pnb_ref,
-                              mask_ref, out_ref, *, cyc, wp, off,
-                              n_sym, cshift, **kw):
+                              eband_ref, wr_ref, wi_ref, pn_ref,
+                              pnb_ref, mask_ref, out_ref, *, cyc, wp,
+                              off, n_sym, cshift, **kw):
     # (``stage`` rides in **kw to _hunt_decode_core)
     """Hunt+extract+decode reading prev/cur decim blocks directly.
 
@@ -868,8 +933,9 @@ def _hunt_decode_decim_kernel(prev0_ref, curprev_ref, cur_ref, mat_ref,
                            curprev_ref[c, p_]),
                  cur_ref[c, p_], zpad], axis=-1)
              for p_ in range(2)] for c in range(cyc)]
-    _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
-                      mask_ref, out_ref, cyc=cyc, wp=wp, off=off, **kw)
+    _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref, pn_ref,
+                      pnb_ref, mask_ref, out_ref, cyc=cyc, wp=wp,
+                      off=off, **kw)
 
 
 def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
@@ -940,12 +1006,16 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         mat_np = _segment_band_matrix_lagtile(n_lags, n_seg, P, off,
                                               tile=128, kwin=lag_kwin)
         mat = jnp.asarray(mat_np, dtype=mdt)
+        eband = jnp.asarray(_energy_band_lagtile(
+            n_lags, P, off, tile=128, kwin=lag_kwin))
     else:
         mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg,
                                            P, off, klen_pad=klen)
         mat = jnp.asarray(
             mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
             dtype=mdt)
+        eband = jnp.asarray(_energy_band_smaj(
+            n_lags, n_lags_pad, P, off, klen_pad=klen))
 
     wr, wi = _dft_operands(cfg)
     pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
@@ -968,7 +1038,8 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
         cfo_dtype=cfg.cfo_dtype,
-        lag_tiles=lag_tiles, lag_kwin=lag_kwin, stage=stage)
+        lag_tiles=lag_tiles, lag_kwin=lag_kwin,
+        hunt_norm=cfg.hunt_norm, stage=stage)
 
     out = pl.pallas_call(
         kern,
@@ -983,6 +1054,9 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
             pl.BlockSpec((cyc, 2, cb, n_sym), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(mat.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(eband.shape,
+                         lambda i: (0,) * eband.ndim,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, nfft), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1007,7 +1081,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(decim_prev0, decim_cur, decim_cur, mat, wr, wi, pn, pnbj,
+    )(decim_prev0, decim_cur, decim_cur, mat, eband, wr, wi, pn, pnbj,
       maskj)
 
     return {

@@ -55,7 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ModemConfig
 from ..constants import PREAMBLE_VALUES, scramble_dibit_mask
 from ..dsp.mixer import mixer_table
-from .decode_pallas import (_dft_operands, _hunt_decode_core,
+from .decode_pallas import (_dft_operands, _energy_band_lagtile,
+                            _energy_band_smaj, _hunt_decode_core,
                             _pnb_operand, _probe_out,
                             _segment_band_matrix_lagtile,
                             _segment_band_matrix_smaj)
@@ -64,9 +65,9 @@ from .frontend_pallas import (_decim_tap_matrix_aligned,
 
 
 def _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
-                     wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
-                     out_ref, qring_ref, *, cyc, wp, off, n_sym,
-                     stage, use_qring=False, **kw):
+                     eband_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
+                     mask_ref, out_ref, qring_ref, *, cyc, wp, off,
+                     n_sym, stage, use_qring=False, **kw):
     """Shared tail: cur decim values -> ring update -> hunt+decode.
 
     ``qring_ref`` (int8 scratch [cyc, 2, cb, n_sym] or None): the
@@ -125,9 +126,9 @@ def _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
         for p_ in range(2):
             dlast_ref[c, p_] = cur[c][p_]
 
-    _hunt_decode_core(wins, mat_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
-                      mask_ref, out_ref, cyc=cyc, wp=wp, off=off,
-                      stage=stage, qwins=qwins, **kw)
+    _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref,
+                      pn_ref, pnb_ref, mask_ref, out_ref, cyc=cyc,
+                      wp=wp, off=off, stage=stage, qwins=qwins, **kw)
 
 
 def _phase_tail(ptail_ref, advs_ref, halo):
@@ -152,7 +153,8 @@ def _phase_tail(ptail_ref, advs_ref, halo):
 
 
 def _fused_rx_kernel_premix(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
-                            tab_ref, td_ref, mat_ref, wr_ref, wi_ref,
+                            tab_ref, td_ref, mat_ref, eband_ref,
+                            wr_ref, wi_ref,
                             pn_ref, pnb_ref, mask_ref, out_ref,
                             dlast_ref,
                             zr_ref, zi_ref, qring_ref, *, n, ntaps,
@@ -207,14 +209,15 @@ def _fused_rx_kernel_premix(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
             cur[c][p_] = jnp.concatenate(acc[c][p_], axis=-1)
 
     _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
-                     wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
-                     out_ref, qring_ref, cyc=cyc, wp=wp, off=off,
-                     n_sym=n_sym, stage=stage, **kw)
+                     eband_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
+                     mask_ref, out_ref, qring_ref, cyc=cyc, wp=wp,
+                     off=off, n_sym=n_sym, stage=stage, **kw)
 
 
 def _fused_rx_kernel_folded(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
                             unrot_ref, tabd_ref, tdre_ref, tdim_ref,
-                            mat_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
+                            mat_ref, eband_ref, wr_ref, wi_ref,
+                            pn_ref, pnb_ref,
                             mask_ref, out_ref, dlast_ref, z_ref,
                             qring_ref, *, n, ntaps,
                             cyc, n_sym, chunk, zpad, fe_klen,
@@ -272,9 +275,9 @@ def _fused_rx_kernel_folded(pcm_ref, ptail_ref, advs_ref, dprev0_ref,
         cur[c][1] = (mr * B + mi * A).astype(ddt)
 
     _decode_from_cur(cur, first, dprev0_ref, dlast_ref, mat_ref,
-                     wr_ref, wi_ref, pn_ref, pnb_ref, mask_ref,
-                     out_ref, qring_ref, cyc=cyc, wp=wp, off=off,
-                     n_sym=n_sym, stage=stage, **kw)
+                     eband_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
+                     mask_ref, out_ref, qring_ref, cyc=cyc, wp=wp,
+                     off=off, n_sym=n_sym, stage=stage, **kw)
 
 
 def fused_rx_schedule(cfg: ModemConfig) -> dict:
@@ -393,6 +396,8 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         mat_np = _segment_band_matrix_lagtile(n_lags, n_seg, P, off,
                                               tile=128, kwin=lag_kwin)
         mat = jnp.asarray(mat_np, dtype=mdt)
+        eband = jnp.asarray(_energy_band_lagtile(
+            n_lags, P, off, tile=128, kwin=lag_kwin))
     else:
         csz = segs_per_chunk * n_lags_pad
         mat_np = _segment_band_matrix_smaj(n_lags, n_lags_pad, n_seg,
@@ -400,6 +405,8 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         mat = jnp.asarray(
             mat_np.reshape(klen, n_chunks, csz).swapaxes(0, 1),
             dtype=mdt)
+        eband = jnp.asarray(_energy_band_smaj(
+            n_lags, n_lags_pad, P, off, klen_pad=klen))
 
     wr, wi = _dft_operands(cfg)
     pn = jnp.asarray(PREAMBLE_VALUES.astype(np.float32).reshape(1, 1, P))
@@ -437,10 +444,13 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
         cfo_dtype=cfg.cfo_dtype,
-        lag_tiles=lag_tiles, lag_kwin=lag_kwin, use_qring=use_qring)
+        lag_tiles=lag_tiles, lag_kwin=lag_kwin, use_qring=use_qring,
+        hunt_norm=cfg.hunt_norm)
 
     fixed_specs = [
         pl.BlockSpec(mat.shape, lambda i, b: (0,) * mat.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(eband.shape, lambda i, b: (0,) * eband.ndim,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, P, nfft), lambda i, b: (0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -533,7 +543,7 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(*lead_args, *fe_args, mat, wr, wi, pn, pnbj, maskj)
+    )(*lead_args, *fe_args, mat, eband, wr, wi, pn, pnbj, maskj)
 
     dec = {
         "dibits": out[:, :D],

@@ -198,3 +198,59 @@ def test_batch_rejects_frac_timing():
     with pytest.raises(ValueError, match="frac_timing"):
         prod_rx_batch(cfg, prod_rx_init(cfg, (2,)), pcm,
                       fuse_frontend=True)
+
+
+def test_energy_normalized_hunt_rescues_cfo_edge():
+    """cfg.hunt_norm="energy" (default since round 5): under the
+    raw-power argmax ("none", the round<=4 behavior) the full-
+    amplitude DATA sections' correlation sidelobes out-compete the
+    CFO-decohered true peak (measured: Pd 0.84 at 4 dB/40 Hz, 0.10 at
+    50 Hz, misses landing mid-packet); the energy-normalized statistic
+    rescues every one (config.hunt_norm docstring)."""
+    import functools
+
+    C, P = 16, 3
+    rng = np.random.default_rng(77)
+    bits = rng.integers(0, 2, (C, P, CFG.ns, CFG.data_symbols * 2),
+                        dtype=np.uint8)
+
+    @functools.partial(jax.jit, static_argnames=("f",))
+    def mk(bits_dev, key, f):
+        pcm = tx_stream(CFG, bits_dev, flush_gap=True, scramble=True)
+        nb = -(-pcm.shape[-1] // CFG.frame_size) + 1
+        pad = nb * CFG.frame_size - pcm.shape[-1]
+        x = jnp.pad(pcm.astype(jnp.float32), ((0, 0), (0, pad)))
+        keys = jax.random.split(key, C)
+        x = jax.vmap(lambda k, s: channel(
+            k, s, snr_db=4.0, freq_hz=f, fs=CFG.fs))(keys, x)
+        return x.astype(jnp.int16).reshape(C, -1, CFG.frame_size)
+
+    from singlecarrier_tpu.modem.rx_production import prod_rx_stream
+
+    def detections(cfg, pcm):
+        out = jax.jit(jax.vmap(
+            lambda p: prod_rx_stream(cfg, prod_rx_init(cfg), p,
+                                     descramble=True)[1]))(pcm)
+        out = jax.tree.map(np.asarray, out)
+        det = 0
+        for c in range(C):
+            assigned = set()
+            for fr in np.nonzero(out.valid[c])[0]:
+                pos = ((int(fr) - 1) * CFG.frame_size
+                       + int(out.lag[c, fr]) * CFG.cycles
+                       + int(out.timing_phase[c, fr]))
+                p = int(round(pos / CFG.packet_size))
+                if (0 <= p < P and abs(pos - p * CFG.packet_size)
+                        <= CFG.packet_size // 4):
+                    assigned.add(p)
+            det += len(assigned)
+        return det
+
+    # 40 Hz (the claimed tolerance edge): every packet detects.
+    pcm = mk(jnp.asarray(bits), jax.random.PRNGKey(1), 40.0)
+    assert detections(CFG, pcm) == C * P
+    assert detections(CFG.replace(hunt_norm="none"), pcm) < C * P
+    # 50 Hz (beyond the design point): near-complete vs collapsed.
+    pcm = mk(jnp.asarray(bits), jax.random.PRNGKey(1), 50.0)
+    assert detections(CFG, pcm) >= int(0.9 * C * P)
+    assert detections(CFG.replace(hunt_norm="none"), pcm) <= C * P // 2

@@ -81,6 +81,9 @@ def main() -> None:
     ap.add_argument("--ls-gram", default=None,
                     choices=[None, "direct", "sliding"],
                     help="override cfg.ls_gram")
+    ap.add_argument("--hunt-norm", default=None,
+                    choices=[None, "energy", "none"],
+                    help="override cfg.hunt_norm")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +105,8 @@ def main() -> None:
         cfg = cfg.replace(cfo_dtype=args.cfo_dtype)
     if args.ls_gram:
         cfg = cfg.replace(ls_gram=args.ls_gram)
+    if args.hunt_norm:
+        cfg = cfg.replace(hunt_norm=args.hunt_norm)
     from singlecarrier_tpu.modem import prod_rx_init
     from singlecarrier_tpu.modem.rx_production import (
         _decode_out, _extract_packet_planes, _hunt_planes)

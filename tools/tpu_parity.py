@@ -70,6 +70,10 @@ def main() -> int:
                     choices=[None, "bf16", "f32", "int8"],
                     help="override cfg.hunt_dtype (int8 = quantized "
                          "MXU hunt; both paths quantize identically)")
+    ap.add_argument("--hunt-norm", default=None,
+                    choices=[None, "energy", "none"],
+                    help="override cfg.hunt_norm (energy-normalized "
+                         "hunt argmax vs the raw-power statistic)")
     ap.add_argument("--decim-dtype", default=None,
                     choices=[None, "f32", "bf16"],
                     help="override cfg.decim_dtype for the Pallas "
@@ -122,6 +126,8 @@ def main() -> int:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
     if args.hunt_dtype:
         cfg = cfg.replace(hunt_dtype=args.hunt_dtype)
+    if args.hunt_norm:
+        cfg = cfg.replace(hunt_norm=args.hunt_norm)
     if args.cfo_dtype:
         cfg = cfg.replace(cfo_dtype=args.cfo_dtype)
     from singlecarrier_tpu.modem import prod_rx_init, tx_stream
@@ -238,6 +244,7 @@ def main() -> int:
         "frontend_dtype": cfg.frontend_dtype,
         "decim_dtype": cfg.decim_dtype,
         "hunt_dtype": cfg.hunt_dtype,
+        "hunt_norm": cfg.hunt_norm,
         "cfo_dtype": cfg.cfo_dtype,
         "xla_packets_detected": int(out_x.valid.sum()),
         "expected_packets": C * args.packets,
