@@ -8,19 +8,24 @@ run() { echo "=== $(date +%H:%M:%S) ${@:2}" >> /tmp/chipq.log; timeout "$1" "${@
 # headline + real-packet stream (BENCH_REALSTREAM.json by hand)
 run 2400 python bench.py
 run 2400 python bench.py --real-stream
-# on-chip parity: six pinned configs
+# on-chip parity: six pinned configs (hunt_norm=energy default since r5)
 run 2400 python tools/tpu_parity.py --fuse-frontend
 run 2400 python tools/tpu_parity.py --fuse-frontend --hunt-dtype int8 --decim-dtype bf16 --out PARITY_TPU_INT8.json
 run 2400 python tools/tpu_parity.py --fuse-frontend --decim-dtype bf16 --out PARITY_TPU_BF16.json
 run 2400 python tools/tpu_parity.py --fuse-frontend --hunt-dtype int8 --decim-dtype bf16 --cfo-dtype bf16 --out PARITY_TPU_CFO16.json
 run 2400 python tools/tpu_parity.py --frac-timing --scan-pallas --out PARITY_TPU_FRAC.json
 run 2400 python tools/tpu_parity.py --alpha 0.5 --scan-pallas --out PARITY_TPU_WIDE.json
-# roofline, detector curves, BER through the fused kernel
-run 4800 python tools/roofline.py
-run 4800 python tools/detection_curves.py
-# 64 trials x 10 packets = 317k bits/point: >=100 errors down to the
-# 6 dB point (theory 8e-4) for real binomial CIs (VERDICT r4 #4)
+# detector characterization: SHIPPED fused path, energy-normalized
+# argmax, 1M noise blocks, corr_segments sweep (DETECTION.md)
+run 7200 python tools/detection_curves.py --segments 8,16
+# BER through the fused kernel: data-section-power calibration,
+# 64 trials x 10 packets = 317k bits/point (>=100 errors to 6 dB)
 run 7200 bash -c 'python -m singlecarrier_tpu ber --path fused_rx --hunt-dtype int8 --decim-dtype bf16 --snrs 2,3,4,5,6 --packets 10 --trials 64 | grep "^{" > BER_PALLAS.jsonl'
+# detection-gated two-phase decode cost model (GATED_DECODE.json)
+run 7200 python tools/gated_decode_bench.py
+# segment-sweep throughput cost + the raw-power A/B datapoint
+run 2400 python bench.py --corr-segments 16
+run 2400 python bench.py --hunt-norm none
 # streaming-mode datapoints (scan / superstep / batch at one geometry)
 run 2400 python bench.py --mode production-scan
 run 2400 python bench.py --mode production-scan --superstep 8

@@ -96,6 +96,11 @@ def main() -> None:
                     help="override cfg.hunt_norm (energy-normalized "
                          "hunt argmax; 'none' = the round<=4 "
                          "raw-power statistic, for the A/B cost)")
+    ap.add_argument("--refit-iters", type=int, default=None,
+                    help="override cfg.ls_refit_iters (decode-tail "
+                         "cost/quality tradeoff measurement)")
+    ap.add_argument("--refine-iters", type=int, default=None,
+                    help="override cfg.phase_refine_iters")
     ap.add_argument("--fuse-frontend", type=int, default=None,
                     choices=[0, 1],
                     help="ONE-kernel RX (ops/fused_rx.py): front-end "
@@ -189,6 +194,10 @@ def main() -> None:
         cfg = cfg.replace(corr_segments=args.corr_segments)
     if args.hunt_norm:
         cfg = cfg.replace(hunt_norm=args.hunt_norm)
+    if args.refit_iters is not None:
+        cfg = cfg.replace(ls_refit_iters=args.refit_iters)
+    if args.refine_iters is not None:
+        cfg = cfg.replace(phase_refine_iters=args.refine_iters)
 
     C, B = args.channels, args.blocks
 

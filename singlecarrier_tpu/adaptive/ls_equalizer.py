@@ -51,7 +51,19 @@ def window_matrix(symbols, start, count: int, L: int, *,
     return jnp.stack(cols, axis=-1)
 
 
-def ls_train(symbols, lag, pn, L: int, reg: float = 1e-4):
+def _ridge_diag(L: int, reg: float, offtap_reg) -> np.ndarray:
+    """Scale-relative ridge diagonal: ``reg`` on the center tap,
+    ``offtap_reg`` on the others (the shrinkage prior toward the
+    pure-delay solution -- config.ls_offtap_reg rationale).  ``None``
+    recovers the uniform ridge."""
+    d = np.full(L, reg if offtap_reg is None else offtap_reg,
+                np.float32)
+    d[L // 2] = reg
+    return np.diag(d)
+
+
+def ls_train(symbols, lag, pn, L: int, reg: float = 1e-4,
+             offtap_reg=None):
     """Fit the equalizer on the preamble; returns ``(coeff, matches)``.
 
     Solves the regularized normal equations of the training problem the
@@ -63,7 +75,12 @@ def ls_train(symbols, lag, pn, L: int, reg: float = 1e-4):
       lag:     preamble start (traced ok).
       pn:      [P] float +/-1 chips.
       L:       equalizer length.
-      reg:     ridge regularization (also keys noise robustness).
+      reg:     center-tap ridge regularization.
+      offtap_reg: off-center-tap ridge (shrinkage toward pure delay;
+               None = uniform ``reg``).  The training chips transmit
+               at quarter power, so unshrunk off-taps carry ~0.8 dB
+               of estimation noise on an ISI-free channel
+               (config.ls_offtap_reg).
 
     Returns:
       coeff:   [L] complex filter.
@@ -82,7 +99,9 @@ def ls_train(symbols, lag, pn, L: int, reg: float = 1e-4):
     A = jnp.matmul(C.conj().mT, C, precision=hi)      # [L, L] hermitian
     # Scale-aware ridge: reg relative to the mean window power.
     scale = (jnp.trace(A, axis1=-2, axis2=-1).real / L)[..., None, None]
-    A = A + (reg * scale + 1e-12) * jnp.eye(L, dtype=A.dtype)
+    A = A + scale * jnp.asarray(_ridge_diag(L, reg, offtap_reg),
+                                A.dtype) \
+        + 1e-12 * jnp.eye(L, dtype=A.dtype)
     b = jnp.matmul(C.conj().mT, pnc[..., None],
                    precision=hi)[..., 0]             # [L]
     # Unrolled Cholesky: far faster than jnp.linalg.solve's generic LU
@@ -121,7 +140,8 @@ def slice_qpsk(raw):
     return dibit, hard_raw
 
 
-def ls_refit(symbols, start, coeff, n_data: int, reg: float = 1e-3):
+def ls_refit(symbols, start, coeff, n_data: int, reg: float = 1e-3,
+             offtap_reg=None):
     """Decision-directed LS refit on the data section.
 
     The preamble transmits at HALF the data amplitude (qpsk.c:313-319),
@@ -145,7 +165,9 @@ def ls_refit(symbols, start, coeff, n_data: int, reg: float = 1e-3):
     target = hard_raw * scale
     A = jnp.matmul(C.conj().mT, C, precision=hi)
     tr = (jnp.trace(A, axis1=-2, axis2=-1).real / L)[..., None, None]
-    A = A + (reg * tr + 1e-12) * jnp.eye(L, dtype=A.dtype)
+    A = A + tr * jnp.asarray(_ridge_diag(L, reg, offtap_reg),
+                             A.dtype) \
+        + 1e-12 * jnp.eye(L, dtype=A.dtype)
     b = jnp.matmul(C.conj().mT, target[..., None],
                    precision=hi)[..., 0]
     return chol_solve_hermitian(A, b)

@@ -75,7 +75,8 @@ def data_section_power_mask(cfg: ModemConfig, n_packets: int,
 
 
 def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
-            phase_rad=0.0, delay=0.0, ppm=0.0, n_packets: int = 10,
+            phase_rad=0.0, delay=0.0, ppm=0.0, echoes=(),
+            n_packets: int = 10,
             n_trials: int = 4, drop_tail_bits: int = 0,
             path: str = "xla"):
     """One sweep point; returns dict with ber / detection stats.
@@ -129,7 +130,8 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
         def one_trial(k, clean):
             x = channel(k, clean, snr_db=snr_db, freq_hz=freq_hz,
                         phase_rad=phase_rad, delay=delay, ppm=ppm,
-                        fs=cfg.fs, signal_power=sig_power)
+                        echoes=echoes, fs=cfg.fs,
+                        signal_power=sig_power)
             frames = x.reshape(n_blocks, cfg.frame_size)
             _, out = prod_rx_stream(cfg, prod_rx_init(cfg), frames,
                                     descramble=False)
@@ -158,7 +160,8 @@ def ber_run(cfg: ModemConfig, key, *, snr_db=None, freq_hz=0.0,
             x = jax.vmap(lambda k: channel(
                 k, clean, snr_db=snr_db, freq_hz=freq_hz,
                 phase_rad=phase_rad, delay=delay, ppm=ppm,
-                fs=cfg.fs, signal_power=sig_power))(keys)  # [T, S]
+                echoes=echoes, fs=cfg.fs,
+                signal_power=sig_power))(keys)             # [T, S]
             fr = x.astype(jnp.int16).reshape(
                 n_trials, n_blocks, cfg.frame_size)
             fr = jnp.swapaxes(fr, 0, 1)                # [B, T, n]

@@ -61,6 +61,20 @@ def awgn(key, pcm, snr_db: float, *, signal_power=None):
     return x + noise
 
 
+def multipath(pcm, echoes):
+    """Discrete multipath: x + sum_i g_i * x[n - d_i] (passband echo
+    taps).  ``echoes``: list of (delay_samples:int, gain:float).  The
+    reference's equalizer exists for exactly this impairment but its
+    harness never models it (the only knob is FOFFSET, qpsk.c:67);
+    this sampler closes that gap for equalizer-capability tests."""
+    x = pcm.astype(jnp.float32)
+    out = x
+    for d, g in echoes:
+        pad = [(0, 0)] * (x.ndim - 1) + [(int(d), 0)]
+        out = out + jnp.float32(g) * jnp.pad(x, pad)[..., :x.shape[-1]]
+    return out
+
+
 def timing_offset(pcm, shift: int):
     """Integer-sample timing shift (zero-padded roll)."""
     x = pcm.astype(jnp.float32)
@@ -124,8 +138,9 @@ def fractional_delay(pcm, delay: float, *, ntaps: int = 33):
 
 def channel(key, pcm, *, snr_db=None, freq_hz=0.0, phase_rad=0.0,
             delay=0.0, ppm=0.0, gain=1.0, fs: float = 8000.0,
-            signal_power=None):
-    """Composite impairment: CFO/phase -> delay -> drift -> gain -> AWGN.
+            signal_power=None, echoes=()):
+    """Composite impairment: CFO/phase -> delay -> drift -> multipath
+    -> gain -> AWGN.
 
     ``signal_power``: reference power for the SNR (pre-``gain`` units;
     scaled by gain^2 internally).  Default measures the mean square of
@@ -145,6 +160,8 @@ def channel(key, pcm, *, snr_db=None, freq_hz=0.0, phase_rad=0.0,
         x = fractional_delay(x, delay)
     if ppm != 0.0:
         x = sample_rate_offset(x, ppm)
+    if echoes:
+        x = multipath(x, echoes)
     x = x * gain
     if snr_db is not None:
         sp = None if signal_power is None else signal_power * gain * gain

@@ -39,6 +39,12 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
                    choices=["f32", "bf16"])
     p.add_argument("--cfo-dtype", default=DEFAULT_CONFIG.cfo_dtype,
                    choices=["f32", "bf16"])
+    p.add_argument("--hunt-norm", default=DEFAULT_CONFIG.hunt_norm,
+                   choices=["energy", "none"])
+    p.add_argument("--refit-iters", type=int,
+                   default=DEFAULT_CONFIG.ls_refit_iters)
+    p.add_argument("--refine-iters", type=int,
+                   default=DEFAULT_CONFIG.phase_refine_iters)
 
 
 def _cfg_from(args) -> ModemConfig:
@@ -46,7 +52,9 @@ def _cfg_from(args) -> ModemConfig:
         fs=args.fs, rs=args.rs, center=args.center, alpha=args.alpha,
         ns=args.ns, eq_length=args.eq_length,
         hunt_dtype=args.hunt_dtype, decim_dtype=args.decim_dtype,
-        cfo_dtype=args.cfo_dtype)
+        cfo_dtype=args.cfo_dtype, hunt_norm=args.hunt_norm,
+        ls_refit_iters=args.refit_iters,
+        phase_refine_iters=args.refine_iters)
 
 
 def cmd_info(args) -> int:

@@ -196,6 +196,34 @@ class ModemConfig:
                                   # breaks the tile bound (preamble +
                                   # off > 257)
     ls_reg: float = 1e-4          # ridge regularization of the LS eq fit
+                                  # (CENTER tap; scale-aware, relative
+                                  # to the Gram trace)
+    ls_offtap_reg: float = 1.0    # EXTRA ridge on the off-center taps
+                                  # of the TRAINING fit -- a shrinkage
+                                  # prior toward the pure-delay
+                                  # (1-tap) solution.  Measured
+                                  # decomposition (round 5, 6 dB
+                                  # AWGN): 0.8 dB of the pipeline's
+                                  # 0.92 dB implementation loss was LS
+                                  # estimation noise of 5 free taps
+                                  # fitted on 128 quarter-power chips
+                                  # (L=1 fit: 0.13 dB).  With
+                                  # train=1.0/refit=0.1 the loss drops
+                                  # to 0.29 dB on AWGN, 0.90->0.80 at
+                                  # 0.5-sample delay, 3.17->2.76 at
+                                  # 35 Hz CFO; cost on a HARSH echo
+                                  # (1.4 symbols, -6 dB): ber 8e-4 ->
+                                  # 1.3e-3 at 10 dB (channel.multipath
+                                  # sweep).  Set == ls_reg to recover
+                                  # the uniform-ridge (round<=4)
+                                  # behavior
+    ls_offtap_reg_refit: float = 0.1  # off-tap shrinkage of the
+                                  # decision-directed REFIT: weaker --
+                                  # 248 full-power symbols can afford
+                                  # real off-taps, so the data largely
+                                  # overrides the prior on genuine
+                                  # multipath while keeping most of
+                                  # the AWGN denoising
     ls_gram: str = "sliding"      # decode-kernel Gram assembly:
                                   # "sliding" (default) = lag products
                                   # + prefix-corrected partial sums
@@ -384,6 +412,8 @@ class ModemConfig:
         if self.hunt_norm not in ("energy", "none"):
             raise ValueError(
                 f"hunt_norm must be energy|none, got {self.hunt_norm}")
+        if self.ls_offtap_reg < 0 or self.ls_offtap_reg_refit < 0:
+            raise ValueError("ls_offtap_reg(_refit) must be >= 0")
         if self.preamble_length > self.symbols_per_block:
             raise ValueError(
                 f"preamble_length ({self.preamble_length}) must be <= "

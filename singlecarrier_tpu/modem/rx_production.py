@@ -334,7 +334,8 @@ def _train_and_decode(cfg: ModemConfig, pkt):
     off = cfg.eq_length // 2
     pre_real = jnp.asarray(PREAMBLE_VALUES.astype(np.float32))
     coeff, matches = ls_train(pkt, off, pre_real, cfg.eq_length,
-                              cfg.ls_reg)
+                              cfg.ls_reg,
+                              offtap_reg=cfg.ls_offtap_reg)
     start = off + cfg.preamble_length
     # Decision-directed refit: the preamble trains 6 dB below the data
     # amplitude (qpsk.c:313-319); refitting on first-pass decisions
@@ -344,7 +345,8 @@ def _train_and_decode(cfg: ModemConfig, pkt):
     # reinforce their own errors).
     C_pre = window_matrix(pkt, off, cfg.preamble_length, cfg.eq_length)
     for _ in range(cfg.ls_refit_iters):
-        cand = ls_refit(pkt, start, coeff, cfg.frame_symbols)
+        cand = ls_refit(pkt, start, coeff, cfg.frame_symbols,
+                        offtap_reg=cfg.ls_offtap_reg_refit)
         m_old = jnp.sum(((C_pre @ coeff).real * pre_real) > 0, axis=-1)
         m_new = jnp.sum(((C_pre @ cand).real * pre_real) > 0, axis=-1)
         keep = (m_new >= m_old)

@@ -263,7 +263,7 @@ def _gram_sliding(pr, pi, L, count):
 
 
 def _fit(pr, pi, target_r, target_i, L, reg, count,
-         gram: str = "direct", bw=None, pnb=None):
+         gram: str = "direct", bw=None, pnb=None, offtap=None):
     """LS fit of sum_i coeff_i * w[t+i] ~ target[t] over t < count.
 
     pr/pi: [cb, count + L - 1] window planes; target planes [cb, count]
@@ -281,9 +281,14 @@ def _fit(pr, pi, target_r, target_i, L, reg, count,
     tr_mean = A_r[(0, 0)]
     for i in range(1, L):
         tr_mean = tr_mean + A_r[(i, i)]
-    ridge = reg * tr_mean / L + 1e-12
+    # center-tap reg + off-tap shrinkage prior (config.ls_offtap_reg;
+    # offtap=None recovers the uniform ridge)
+    ridge_c = reg * tr_mean / L + 1e-12
+    ridge_o = ridge_c if offtap is None else \
+        (offtap * tr_mean / L + 1e-12)
     for i in range(L):
-        A_r[(i, i)] = A_r[(i, i)] + ridge
+        A_r[(i, i)] = A_r[(i, i)] + (ridge_c if i == L // 2
+                                     else ridge_o)
 
     if bw is not None:
         f32 = jnp.float32
@@ -365,13 +370,15 @@ def _slice_hard(ar, ai):
 def _decode_kernel(pkt_ref, peak_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
                    mask_ref, out_ref, *, P, D, L, off, nfft, rs,
                    peak_gate, ls_reg, refit_iters, refine_iters,
-                   gram="direct", bvec="reduce", cfo_dtype="f32"):
+                   gram="direct", bvec="reduce", cfo_dtype="f32",
+                   ls_offtap=None, ls_offtap_refit=None):
     _decode_core(pkt_ref[:, 0, :], pkt_ref[:, 1, :], peak_ref[:, 0, :],
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :], pnb_ref[0],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
                  refit_iters=refit_iters, refine_iters=refine_iters,
-                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype)
+                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype,
+                 ls_offtap=ls_offtap, ls_offtap_refit=ls_offtap_refit)
 
 
 def _probe_out(out_ref, D, *vals):
@@ -390,6 +397,7 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
                  L, off, nfft, rs, peak_gate, ls_reg, refit_iters,
                  refine_iters, gram: str = "direct",
                  bvec: str = "reduce", cfo_dtype: str = "f32",
+                 ls_offtap=None, ls_offtap_refit=None,
                  stage: str = "full"):
     """Shared decode body: aligned packet planes -> out_ref stats.
 
@@ -466,7 +474,7 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
     else:
         bw = None
     cr, ci = _fit(win_r, win_i, pn, None, L, ls_reg, P, gram=gram,
-                  bw=bw, pnb=pnb)
+                  bw=bw, pnb=pnb, offtap=ls_offtap)
     vr = _apply_real(win_r, win_i, cr, ci, L, P)
     matches = _reduce_last((vr * pn > 0.0).astype(f32))
     if stage == "train":
@@ -483,7 +491,7 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
         mag_h = _reduce_last(jnp.sqrt(hr * hr + hh * hh)) / D + 1e-12
         scale = mag_raw / mag_h
         cr2, ci2 = _fit(dat_r, dat_i, hr * scale, hh * scale, L,
-                        1e-3, D, gram=gram)
+                        1e-3, D, gram=gram, offtap=ls_offtap_refit)
         vr2 = _apply_real(win_r, win_i, cr2, ci2, L, P)
         m2 = _reduce_last((vr2 * pn > 0.0).astype(f32))
         keep = (m2 >= matches).astype(f32)
@@ -641,6 +649,8 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
     kern = functools.partial(
         _decode_kernel, P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
         peak_gate=cfg.effective_peak_gate, ls_reg=cfg.ls_reg,
+        ls_offtap=cfg.ls_offtap_reg,
+        ls_offtap_refit=cfg.ls_offtap_reg_refit,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram,
         bvec=bvec, cfo_dtype=cfg.cfo_dtype)
@@ -689,6 +699,7 @@ def _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref, pn_ref,
                       bvec: str = "reduce", cfo_dtype: str = "f32",
                       lag_tiles: int = 0, lag_kwin: int = 384,
                       qwins=None, hunt_norm: str = "none",
+                      ls_offtap=None, ls_offtap_refit=None,
                       stage: str = "full"):
     """Hunt + extract + decode, fully fused.
 
@@ -883,7 +894,9 @@ def _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref, pn_ref,
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
                  refit_iters=refit_iters, refine_iters=refine_iters,
-                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype, stage=stage)
+                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype,
+                 ls_offtap=ls_offtap, ls_offtap_refit=ls_offtap_refit,
+                 stage=stage)
     if stage not in ("full", "gate"):
         return
     # hunt results ride the same fat output (slots D+5..D+7; the core
@@ -1034,6 +1047,8 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         segs_per_chunk=segs_per_chunk, n_chunks=n_chunks, klen=klen,
         P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
         peak_gate=cfg.effective_peak_gate, ls_reg=cfg.ls_reg,
+        ls_offtap=cfg.ls_offtap_reg,
+        ls_offtap_refit=cfg.ls_offtap_reg_refit,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
@@ -1102,7 +1117,8 @@ def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
                            *, cyc, wp, pkt_len, P, D, L, off, nfft,
                            rs, peak_gate, ls_reg, refit_iters,
                            refine_iters, gram="direct",
-                           bvec="reduce", cfo_dtype="f32"):
+                           bvec="reduce", cfo_dtype="f32",
+                           ls_offtap=None, ls_offtap_refit=None):
     """Decode with IN-KERNEL packet extraction.
 
     Replaces the XLA extraction stage (one-hot phase einsum + pad +
@@ -1147,7 +1163,8 @@ def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
                  refit_iters=refit_iters, refine_iters=refine_iters,
-                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype)
+                 gram=gram, bvec=bvec, cfo_dtype=cfo_dtype,
+                 ls_offtap=ls_offtap, ls_offtap_refit=ls_offtap_refit)
 
 
 def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
@@ -1193,6 +1210,8 @@ def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
         _decode_extract_kernel, cyc=cfg.cycles, wp=Wp,
         pkt_len=pkt_len, P=P, D=D, L=L, off=off, nfft=nfft, rs=cfg.rs,
         peak_gate=cfg.effective_peak_gate, ls_reg=cfg.ls_reg,
+        ls_offtap=cfg.ls_offtap_reg,
+        ls_offtap_refit=cfg.ls_offtap_reg_refit,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram,
         bvec=bvec, cfo_dtype=cfg.cfo_dtype)

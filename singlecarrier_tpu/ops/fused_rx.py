@@ -440,6 +440,8 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         n_lags_pad=n_lags_pad, segs_per_chunk=segs_per_chunk,
         n_chunks=n_chunks, klen=klen, P=P, D=D, L=L, nfft=nfft,
         rs=cfg.rs, peak_gate=cfg.effective_peak_gate, ls_reg=cfg.ls_reg,
+        ls_offtap=cfg.ls_offtap_reg,
+        ls_offtap_refit=cfg.ls_offtap_reg_refit,
         refit_iters=cfg.ls_refit_iters,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
