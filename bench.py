@@ -96,6 +96,10 @@ def main() -> None:
                     help="override cfg.hunt_norm (energy-normalized "
                          "hunt argmax; 'none' = the round<=4 "
                          "raw-power statistic, for the A/B cost)")
+    ap.add_argument("--cfo-nfft", type=int, default=None,
+                    help="override cfg.cfo_nfft (CFO-search DFT "
+                         "size; 512 default kills the parabolic-"
+                         "interpolation bias, config.py)")
     ap.add_argument("--refit-iters", type=int, default=None,
                     help="override cfg.ls_refit_iters (decode-tail "
                          "cost/quality tradeoff measurement)")
@@ -194,6 +198,8 @@ def main() -> None:
         cfg = cfg.replace(corr_segments=args.corr_segments)
     if args.hunt_norm:
         cfg = cfg.replace(hunt_norm=args.hunt_norm)
+    if args.cfo_nfft is not None:
+        cfg = cfg.replace(cfo_nfft=args.cfo_nfft)
     if args.refit_iters is not None:
         cfg = cfg.replace(ls_refit_iters=args.refit_iters)
     if args.refine_iters is not None:

@@ -69,7 +69,20 @@ class ModemConfig:
     corr_segments: int = 8        # non-coherent correlation segments
                                   # (CFO-tolerant hunt; 1 = reference's
                                   # coherent correlator)
-    cfo_nfft: int = 256           # zero-padded DFT size for CFO search
+    cfo_nfft: int = 512           # zero-padded DFT size for CFO search.
+                                  # 512 (4x zero-pad of the 128 chips)
+                                  # since round 5: at 2x pad (256) the
+                                  # parabolic peak interpolation on
+                                  # the |sinc|^2 mainlobe carries a
+                                  # grid-fraction-dependent BIAS up to
+                                  # ~0.4 Hz (measured at 35 Hz CFO
+                                  # even at 20 dB SNR), whose phase
+                                  # ramp across the 155 ms packet
+                                  # exceeds the refine clamp and cost
+                                  # 2.2 dB at the CFO edge: 35 Hz/4 dB
+                                  # loss 3.01 -> 0.81 dB at 512 (bias
+                                  # 0.39 -> 0.04 Hz; 1024 gains
+                                  # nothing further)
     cfo_dtype: str = "f32"        # CFO-search DFT matmul precision
                                   # ("f32" | "bf16").  bf16 runs the
                                   # four [cb, P] x [P, nfft] DFT
