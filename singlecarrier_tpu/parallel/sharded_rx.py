@@ -121,6 +121,125 @@ def make_fused_sharded_rx(cfg: ModemConfig, mesh: Mesh, *,
     return jax.jit(wrapped)
 
 
+def make_fused_grid_sharded_rx(cfg: ModemConfig, mesh: Mesh, *,
+                               descramble: bool = True,
+                               fuse_frontend: bool = True,
+                               decode_block_channels: int | None = None,
+                               interpret: bool = False):
+    """The fused-kernel RX under a 2D [ch x time] shard_map (one-shot).
+
+    Channels shard as pure DP; the TIME axis shards one stream's
+    blocks with a ONE-BLOCK overlap-save halo: each shard ppermutes
+    its last raw PCM block (plus the ntaps-1 samples before it) to its
+    right neighbor, PREPENDS it to its local blocks, and seeds the
+    prepended walk with closed-form carries --
+
+      * mixer phase entering the halo slot = adv^(g-1) from the GLOBAL
+        block index (no communication; for shard 0 that is adv^-1, so
+        the first real block lands on adv^0 = the fresh-stream phase);
+      * FIR tail entering the halo slot = the downmixed last ntaps-1
+        samples of global block g-1 (part of the ppermuted halo);
+      * decim_prev = zeros -- it only affects the halo block's OWN
+        hunt window, whose outputs are dropped.
+
+    The halo block's decimated planes then ride the fused kernel's
+    VMEM ring into the first real block's hunt window, exactly as in
+    the unsharded walk: one redundant block of compute per shard buys
+    seam-free results.  Outputs for the B_local real blocks are
+    returned ([n_blocks, C, ...] leaves, both axes sharded).
+    Decision-level seam equality vs the single-device fused path is
+    pinned in tests/test_sharding.py (the carried FIR tail is rebuilt
+    in f32 where the in-kernel ring holds it in the z-scratch dtype,
+    so float stats may differ in ulps at the seam -- the same
+    tolerance contract as the dispatch-boundary state-carry test).
+
+    ``pcm``: [n_blocks, n_channels, frame_size] int16, n_blocks
+    divisible by mesh['time'] (and >= 2 per shard), n_channels by
+    mesh['ch'].
+    """
+    import numpy as np
+
+    from ..dsp.mixer import mixer_table
+
+    n_t = mesh.shape["time"]
+    n_c = mesh.shape["ch"]
+    n = cfg.frame_size
+    halo = cfg.ntaps - 1
+    inv_scale = 1.0 / cfg.tx_amplitude
+    w_ = -2.0 * np.pi * cfg.center / cfg.fs
+    table = mixer_table(-cfg.center, cfg.fs, n)
+    tr_t = jnp.asarray(table.real[n - halo:])
+    ti_t = jnp.asarray(table.imag[n - halo:])
+
+    def shard_fn(pcm_local):
+        # pcm_local: [B_loc, C_loc, n]
+        B_loc, C_loc = pcm_local.shape[0], pcm_local.shape[1]
+        t_idx = jax.lax.axis_index("time")
+        my_first = t_idx * B_loc                  # global block index
+        is_first = t_idx == 0
+
+        # halo to the right neighbor: my last block + the ntaps-1 raw
+        # samples preceding it (from my second-to-last block)
+        halo_blk = pcm_local[-1]                          # [C_loc, n]
+        halo_pre = pcm_local[-2, :, n - halo:]            # [C_loc, halo]
+        perm = [(i, i + 1) for i in range(n_t - 1)]
+        in_blk = jax.lax.ppermute(halo_blk, "time", perm)
+        in_pre = jax.lax.ppermute(halo_pre, "time", perm)
+        in_blk = jnp.where(is_first, jnp.zeros_like(in_blk), in_blk)
+        in_pre = jnp.where(is_first, jnp.zeros_like(in_pre), in_pre)
+
+        # closed-form carries at the halo slot g = my_first - 1:
+        # phase entering g (shard 0: adv^-1 so block 0 gets adv^0)
+        gm1 = (my_first - 1).astype(jnp.float32)
+        ang1 = jnp.float32((w_ * n) % (2.0 * np.pi)) * gm1
+        p_r = jnp.cos(ang1) * jnp.ones((C_loc,), jnp.float32)
+        p_i = jnp.sin(ang1) * jnp.ones((C_loc,), jnp.float32)
+        # FIR tail entering g = downmixed tail of block g-1 at
+        # phase(g-1); zero for shards 0 (fresh) -- in_pre is zeroed
+        ang2 = jnp.float32((w_ * n) % (2.0 * np.pi)) * (gm1 - 1.0)
+        qr = jnp.cos(ang2)
+        qi = jnp.sin(ang2)
+        x_t = in_pre.astype(jnp.float32) * inv_scale
+        tl_r = x_t * (qr * tr_t - qi * ti_t)
+        tl_i = x_t * (qr * ti_t + qi * tr_t)
+
+        ddt = (jnp.bfloat16 if cfg.decim_dtype == "bf16"
+               else jnp.float32)
+        planes = (p_r, p_i, tl_r, tl_i,
+                  jnp.zeros((cfg.cycles, 2, C_loc,
+                             cfg.symbols_per_block), ddt))
+        pcm_ext = jnp.concatenate([in_blk[None], pcm_local], axis=0)
+        cb = (None if decode_block_channels is None
+              else min(decode_block_channels, C_loc))
+        _, out = prod_rx_batch(
+            cfg, planes, pcm_ext, descramble=descramble,
+            block_channels=min(128, (B_loc + 1) * C_loc),
+            decode_block_channels=cb,
+            fuse_frontend=fuse_frontend, interpret=interpret)
+        # drop the halo block's outputs
+        return jax.tree.map(lambda x: x[1:], out)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("time", "ch"),),
+        out_specs=P("time", "ch"),
+        check_vma=False,
+    )
+
+    def wrapped(pcm):
+        B, C = pcm.shape[0], pcm.shape[1]
+        if B % n_t or B // n_t < 2:
+            raise ValueError(
+                f"n_blocks ({B}) must be a multiple of mesh['time'] "
+                f"({n_t}) with >= 2 blocks per shard")
+        if C % n_c:
+            raise ValueError(
+                f"channels ({C}) not divisible by mesh['ch'] ({n_c})")
+        return fn(pcm)
+
+    return jax.jit(wrapped)
+
+
 def metrics_summary(out):
     """Cross-channel metric reduction (detection rate, mean CFO, mean
     eq error) -- an all-reduce XLA lowers to psum over ICI."""

@@ -247,3 +247,40 @@ def test_2d_mesh_channels_and_time(stream):
         assert out.valid[c].sum() == 10
         assert np.array_equal(out.bits[c][out.valid[c]],
                               bits.reshape(10, CFG.bits_per_frame))
+
+
+def test_fused_grid_sharded_rx_2d_seams(stream):
+    """The HEADLINE fused kernel under a 2D [ch x time] shard_map:
+    each time shard prepends one ppermuted halo block with closed-form
+    carry seeds (overlap-save at block granularity).  Decisions must
+    match the single-device fused path across BOTH seam types, and the
+    real packet stream must decode."""
+    from singlecarrier_tpu.parallel import make_fused_grid_sharded_rx
+
+    bits, frames = stream
+    mesh = make_mesh(ch=4, time=2)
+    n_ch = 8
+    B = frames.shape[0]
+    pcm = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (B, n_ch, CFG.frame_size)).copy())
+
+    fn = make_fused_grid_sharded_rx(CFG, mesh, descramble=False,
+                                    decode_block_channels=2,
+                                    interpret=True)
+    out = jax.tree.map(np.asarray, fn(pcm))
+
+    _, ref = prod_rx_batch(
+        CFG, prod_rx_init_planes(CFG, n_ch), pcm, descramble=False,
+        decode_block_channels=2, fuse_frontend=True, interpret=True)
+    ref = jax.tree.map(np.asarray, ref)
+
+    assert np.array_equal(out.valid, ref.valid)
+    assert np.array_equal(out.bits[ref.valid], ref.bits[ref.valid])
+    assert np.array_equal(out.lag, ref.lag)
+    assert np.array_equal(out.timing_phase, ref.timing_phase)
+    # every packet decodes through the 2D-sharded program
+    for c in range(n_ch):
+        v = out.valid[:, c]
+        assert v.sum() == 10
+        assert np.array_equal(out.bits[:, c][v],
+                              bits.reshape(10, CFG.bits_per_frame))
