@@ -552,7 +552,8 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
             fr, fi, ntr, nti, npr, npi = fused_frontend(
                 cfg, pcm, st.phase.real, st.phase.imag,
                 st.fir_tail.real, st.fir_tail.imag,
-                block_channels=block_channels, interpret=interpret)
+                block_channels=_auto_cb(pcm.shape[0], block_channels),
+                interpret=interpret)
             filtered = lax.complex(fr, fi)
 
             if not fuse_decode:
@@ -593,8 +594,8 @@ def prod_rx_stream_pallas(cfg: ModemConfig, state: ProdRxState,
         pr, pi_, tr, ti, dprev_t = st
         dcur_t, ntr, nti, npr, npi = fused_frontend_decim(
             cfg, pcm, pr, pi_, tr, ti,
-            block_channels=block_channels, transposed=True,
-            interpret=interpret)
+            block_channels=_auto_cb(pcm.shape[0], block_channels),
+            transposed=True, interpret=interpret)
 
         C = pcm.shape[0]
         dec = fused_hunt_decode_decim(
@@ -827,7 +828,8 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
             cfg, pcm_frames.reshape(N, n),
             ph_r.reshape(N), ph_i.reshape(N),
             tails_r.reshape(N, halo), tails_i.reshape(N, halo),
-            block_channels=min(block_channels, N), transposed=True,
+            block_channels=_auto_cb(N, block_channels),
+            transposed=True,
             interpret=interpret)
 
         if plane_state:
@@ -871,7 +873,7 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
         cfg, pcm_frames.reshape(N, n),
         ph_r.reshape(N), ph_i.reshape(N),
         tails_r.reshape(N, halo), tails_i.reshape(N, halo),
-        block_channels=min(block_channels, N), interpret=interpret)
+        block_channels=_auto_cb(N, block_channels), interpret=interpret)
     decim = dcur.reshape(B, C, cfg.cycles, 2, n_sym)
 
     # hunt windows: [prev | cur] along the symbol axis

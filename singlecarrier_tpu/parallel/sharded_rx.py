@@ -16,8 +16,9 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModemConfig
-from ..modem.rx_production import (ProdRxState, prod_rx_batch,
-                                   prod_rx_init, prod_rx_stream)
+from ..modem.rx_production import (ProdRxState, _auto_cb,
+                                   prod_rx_batch, prod_rx_init,
+                                   prod_rx_stream)
 
 
 def shard_channel_state(state: ProdRxState, mesh: Mesh) -> ProdRxState:
@@ -99,7 +100,8 @@ def make_fused_sharded_rx(cfg: ModemConfig, mesh: Mesh, *,
               else min(decode_block_channels, pcm.shape[1]))
         return prod_rx_batch(
             cfg, planes, pcm, descramble=descramble,
-            block_channels=min(block_channels, pcm.shape[0] * pcm.shape[1]),
+            block_channels=_auto_cb(pcm.shape[0] * pcm.shape[1],
+                                    block_channels),
             decode_block_channels=cb,
             fuse_frontend=fuse_frontend, interpret=interpret)
 
@@ -188,17 +190,25 @@ def make_fused_grid_sharded_rx(cfg: ModemConfig, mesh: Mesh, *,
         in_blk = jnp.where(is_first, jnp.zeros_like(in_blk), in_blk)
         in_pre = jnp.where(is_first, jnp.zeros_like(in_pre), in_pre)
 
-        # closed-form carries at the halo slot g = my_first - 1:
-        # phase entering g (shard 0: adv^-1 so block 0 gets adv^0)
-        gm1 = (my_first - 1).astype(jnp.float32)
-        ang1 = jnp.float32((w_ * n) % (2.0 * np.pi)) * gm1
-        p_r = jnp.cos(ang1) * jnp.ones((C_loc,), jnp.float32)
-        p_i = jnp.sin(ang1) * jnp.ones((C_loc,), jnp.float32)
+        # closed-form carries at the halo slot g = my_first - 1
+        # (shard 0: adv^-1 so block 0 gets adv^0).  The seed phasors
+        # come from a HOST float64 table indexed by the shard: an f32
+        # angle*g product drifts ~1e-7*g rad from prod_rx_batch's
+        # float64 adv tabulation, degrading seam equality with stream
+        # length (code-review r5).  B_loc and n_t are static, so the
+        # tables are exact at trace time.
+        import numpy as _np
+        g_tab = _np.arange(n_t, dtype=_np.float64) * B_loc - 1.0
+        ph1 = _np.exp(1j * w_ * n * g_tab).astype(_np.complex64)
+        ph2 = _np.exp(1j * w_ * n * (g_tab - 1.0)).astype(_np.complex64)
+        p_r = jnp.asarray(ph1.real)[t_idx] * jnp.ones((C_loc,),
+                                                      jnp.float32)
+        p_i = jnp.asarray(ph1.imag)[t_idx] * jnp.ones((C_loc,),
+                                                      jnp.float32)
         # FIR tail entering g = downmixed tail of block g-1 at
-        # phase(g-1); zero for shards 0 (fresh) -- in_pre is zeroed
-        ang2 = jnp.float32((w_ * n) % (2.0 * np.pi)) * (gm1 - 1.0)
-        qr = jnp.cos(ang2)
-        qi = jnp.sin(ang2)
+        # phase(g-1); zero for shard 0 (fresh) -- in_pre is zeroed
+        qr = jnp.asarray(ph2.real)[t_idx]
+        qi = jnp.asarray(ph2.imag)[t_idx]
         x_t = in_pre.astype(jnp.float32) * inv_scale
         tl_r = x_t * (qr * tr_t - qi * ti_t)
         tl_i = x_t * (qr * ti_t + qi * tr_t)
@@ -213,7 +223,7 @@ def make_fused_grid_sharded_rx(cfg: ModemConfig, mesh: Mesh, *,
               else min(decode_block_channels, C_loc))
         _, out = prod_rx_batch(
             cfg, planes, pcm_ext, descramble=descramble,
-            block_channels=min(128, (B_loc + 1) * C_loc),
+            block_channels=_auto_cb((B_loc + 1) * C_loc, 128),
             decode_block_channels=cb,
             fuse_frontend=fuse_frontend, interpret=interpret)
         # drop the halo block's outputs

@@ -132,18 +132,25 @@ class PrefetchIngest:
     """Producer-thread wrapper: assembles dispatch buffers ahead of the
     consumer so host IO/transpose overlaps H2D + compute.
 
-    ``depth`` bounds host memory at depth+1 dispatch buffers.  Buffers
-    are recycled through a free-list, so the steady state allocates
-    nothing.
+    ``depth`` bounds the producer's lead; ``inflight`` is how many
+    PREVIOUSLY-yielded buffers stay quarantined before recycling --
+    ``jax.device_put`` may alias or still be streaming the host memory
+    of the last couple of dispatches (zero-copy on CPU, async staging
+    through PJRT), so a buffer is only returned to the free list after
+    ``inflight`` newer buffers have been yielded (code-review r5: an
+    immediate free let the producer overwrite samples the device was
+    still reading).  Host memory: depth + inflight + 1 buffers;
+    steady state allocates nothing.
     """
 
     def __init__(self, source: PcmDispatchSource, n_dispatches: int,
-                 *, depth: int = 2):
+                 *, depth: int = 2, inflight: int = 2):
         self.source = source
         self.n = n_dispatches
+        self.inflight = inflight
         self._ready: queue.Queue = queue.Queue(maxsize=depth)
         self._free: queue.Queue = queue.Queue()
-        for _ in range(depth + 1):
+        for _ in range(depth + inflight + 1):
             self._free.put(np.empty(
                 (source.B, source.C, source.n), np.int16))
         self._err: Optional[BaseException] = None
@@ -161,13 +168,17 @@ class PrefetchIngest:
             self._ready.put(None)
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        from collections import deque
+        held: deque = deque()
         for _ in range(self.n):
             buf = self._ready.get()
             if buf is None:
                 raise RuntimeError("ingest producer failed") \
                     from self._err
             yield buf
-            self._free.put(buf)
+            held.append(buf)
+            if len(held) > self.inflight:
+                self._free.put(held.popleft())
 
 
 def feed(ingest: PrefetchIngest, put: Callable, step: Callable,

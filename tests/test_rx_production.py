@@ -254,3 +254,22 @@ def test_energy_normalized_hunt_rescues_cfo_edge():
     pcm = mk(jnp.asarray(bits), jax.random.PRNGKey(1), 50.0)
     assert detections(CFG, pcm) >= int(0.9 * C * P)
     assert detections(CFG.replace(hunt_norm="none"), pcm) <= C * P // 2
+
+
+def test_batch_handles_non_128_multiple_channels():
+    """Code-review r5: the front-end channel block must also auto-pick
+    a divisor -- C=192 (a 64-multiple that is not a 128-multiple)
+    previously tripped the front-end kernel's divisibility assert on
+    the two-kernel path (N=B*C=192, cb=min(128,192))."""
+    from singlecarrier_tpu.modem.rx_production import (
+        prod_rx_batch, prod_rx_init_planes)
+
+    C = 192
+    pcm = jnp.zeros((1, C, CFG.frame_size), jnp.int16)
+    for ff in (False, True):
+        _, out = prod_rx_batch(
+            CFG, prod_rx_init(CFG, (C,)) if not ff
+            else prod_rx_init_planes(CFG, C),
+            pcm, fuse_frontend=ff, interpret=True)
+        assert np.asarray(out.valid).shape == (1, C)
+        assert not np.asarray(out.valid).any()

@@ -51,14 +51,9 @@ GATES = [3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0]
 
 
 def _wilson(k: int, n: int, z: float = 1.96):
-    import math
-    if n == 0:
-        return (0.0, 1.0)
-    p = k / n
-    d = 1.0 + z * z / n
-    c = (p + z * z / (2 * n)) / d
-    h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / d
-    return (max(c - h, 0.0), min(c + h, 1.0))
+    # single source of truth for CI math across committed artifacts
+    from singlecarrier_tpu.ber import _wilson_ci
+    return _wilson_ci(k, n, z)
 
 
 def main() -> int:
