@@ -159,10 +159,15 @@ def main() -> None:
                          "faithful-blocked": 1024}[args.mode]
     if args.blocks is None:
         args.blocks = 128 if args.mode == "production" else 8
-    if args.fuse_frontend is None and args.mode == "production":
+    if args.fuse_frontend is None and (
+            args.mode == "production"
+            or (args.mode == "production-scan" and args.superstep)):
         # headline path: the ONE-kernel fused RX (ops/fused_rx.py) --
         # zero decim-plane HBM traffic; unlocks the 1M block-channel
-        # dispatch (SCALING.md round 4)
+        # dispatch (SCALING.md round 4).  The K-block super-step runs
+        # the same batch path inside its scan, so it defaults fused
+        # too (measured: 5.95 GS/s at K=8 = full batch throughput at
+        # the same geometry, vs 5.66 with the two-kernel path inside)
         args.fuse_frontend = 1
     if args.fuse_frontend is None:
         args.fuse_frontend = 0
