@@ -85,3 +85,59 @@ def test_sharded_restore_and_replay_bit_identical(mesh, stream, tmp_path):
                                   np.asarray(full_out.valid)[:, cut:])
     np.testing.assert_array_equal(np.asarray(rest_out.bits),
                                   np.asarray(full_out.bits)[:, cut:])
+
+
+def test_plane_state_checkpoint_resume_headline_path(mesh, tmp_path):
+    """Checkpoint/resume of the PLANE-TYPED state on the sharded mesh
+    -- the state layout the headline fused path actually deploys with
+    (prod_rx_init_planes + make_fused_sharded_rx).  Save mid-stream,
+    restore onto the mesh, continue: decisions must match the
+    uninterrupted run."""
+    import jax
+    import jax.numpy as jnp
+
+    from singlecarrier_tpu.modem import tx_stream
+    from singlecarrier_tpu.modem.rx_production import (
+        prod_rx_batch, prod_rx_init_planes)
+    from singlecarrier_tpu.parallel import (make_fused_sharded_rx,
+                                            shard_plane_state)
+    from singlecarrier_tpu.runtime.checkpoint import (restore_sharded,
+                                                      save_sharded)
+
+    cfg = CFG
+    C = 8
+    rng = np.random.default_rng(31)
+    bits = rng.integers(0, 2, (6, cfg.ns, cfg.data_symbols * 2),
+                        dtype=np.uint8)
+    pcm = np.asarray(tx_stream(cfg, jnp.asarray(bits), flush_gap=True))
+    B = 10
+    buf = np.zeros(B * cfg.frame_size, np.int16)
+    buf[:min(len(pcm), len(buf))] = pcm[:len(buf)]
+    frames = jnp.asarray(np.broadcast_to(
+        buf.reshape(B, 1, cfg.frame_size),
+        (B, C, cfg.frame_size)).copy())
+
+    fn = make_fused_sharded_rx(cfg, mesh, descramble=False,
+                               decode_block_channels=1, interpret=True)
+    st = shard_plane_state(prod_rx_init_planes(cfg, C), mesh)
+    st, out_a = fn(st, frames[:B // 2])
+
+    # checkpoint the sharded plane tuple, restore onto the mesh
+    # (the `like` tree carries the shardings: shards load straight
+    # onto the devices that own them)
+    save_sharded(str(tmp_path / "planes"), st)
+    st_r, step = restore_sharded(str(tmp_path / "planes"), st)
+    st_r = tuple(st_r)
+    st_r, out_b = fn(st_r, frames[B // 2:])
+
+    # uninterrupted reference
+    _, ref = prod_rx_batch(cfg, prod_rx_init_planes(cfg, C), frames,
+                           descramble=False, decode_block_channels=1,
+                           fuse_frontend=True, interpret=True)
+    ref = jax.tree.map(np.asarray, ref)
+    got_v = np.concatenate([np.asarray(out_a.valid),
+                            np.asarray(out_b.valid)], 0)
+    got_b = np.concatenate([np.asarray(out_a.bits),
+                            np.asarray(out_b.bits)], 0)
+    assert np.array_equal(got_v, ref.valid)
+    assert np.array_equal(got_b[ref.valid], ref.bits[ref.valid])
