@@ -92,7 +92,7 @@ def main() -> None:
                          "band matrix -- throughput cost of the "
                          "DETECTION.md segment sweep)")
     ap.add_argument("--hunt-norm", default=None,
-                    choices=[None, "energy", "none"],
+                    choices=[None, "energy", "espan", "none"],
                     help="override cfg.hunt_norm (energy-normalized "
                          "hunt argmax; 'none' = the round<=4 "
                          "raw-power statistic, for the A/B cost)")

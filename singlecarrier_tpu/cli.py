@@ -40,7 +40,7 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cfo-dtype", default=DEFAULT_CONFIG.cfo_dtype,
                    choices=["f32", "bf16"])
     p.add_argument("--hunt-norm", default=DEFAULT_CONFIG.hunt_norm,
-                   choices=["energy", "none"])
+                   choices=["energy", "espan", "none"])
     p.add_argument("--refit-iters", type=int,
                    default=DEFAULT_CONFIG.ls_refit_iters)
     p.add_argument("--refine-iters", type=int,

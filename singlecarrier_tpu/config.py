@@ -168,7 +168,16 @@ class ModemConfig:
                                   # parity gate: tools/tpu_parity.py
                                   # --decim-dtype bf16)
     hunt_norm: str = "energy"     # hunt argmax statistic ("energy" |
-                                  # "none").  "energy" (default since
+                                  # "espan" | "none").  "espan"
+                                  # normalizes by the full-rate SPAN
+                                  # energy shared across the cyc
+                                  # decimation phases (the phase-summed
+                                  # squared planes through ONE band
+                                  # contraction instead of cyc): same
+                                  # CFAR mechanism, 5x the samples in
+                                  # the denominator estimate, ~4/5 of
+                                  # the normalizer's matmul work
+                                  # removed.  "energy" (default since
                                   # round 5) normalizes the segmented
                                   # correlation power by the per-lag
                                   # window energy before the argmax --
@@ -422,9 +431,10 @@ class ModemConfig:
             raise ValueError(
                 f"hunt_scheme must be chunk|lagtile, got "
                 f"{self.hunt_scheme}")
-        if self.hunt_norm not in ("energy", "none"):
+        if self.hunt_norm not in ("energy", "espan", "none"):
             raise ValueError(
-                f"hunt_norm must be energy|none, got {self.hunt_norm}")
+                f"hunt_norm must be energy|espan|none, got "
+                f"{self.hunt_norm}")
         if self.ls_offtap_reg < 0 or self.ls_offtap_reg_refit < 0:
             raise ValueError("ls_offtap_reg(_refit) must be >= 0")
         if self.preamble_length > self.symbols_per_block:

@@ -166,14 +166,25 @@ def _hunt_metric(cfg: ModemConfig, power, sq):
     raw power at the chosen lag either way -- the gate semantics never
     change.
     """
-    if cfg.hunt_norm != "energy":
+    if cfg.hunt_norm not in ("energy", "espan"):
         return power
     # f32 contraction, matching the kernel's (measured: bf16 energy
     # operands are SLOWER in the issue-bound fused kernel -- the cast
     # wide ops outweigh the MXU-rate win; decode_pallas notes).
     eband = jnp.asarray(_energy_band_matrix(cfg.symbols_per_block,
                                             cfg.preamble_length))
-    energy = jnp.matmul(sq.astype(jnp.float32), eband,
+    sq = sq.astype(jnp.float32)
+    if cfg.hunt_norm == "espan":
+        # Full-rate span energy shared across phases: sum the squared
+        # planes FIRST (explicit left-associated adds, mirroring the
+        # kernel's phase loop bit-for-bit), then one band contraction.
+        ssum = sq[..., 0, :]
+        for c in range(1, sq.shape[-2]):
+            ssum = ssum + sq[..., c, :]
+        energy = jnp.matmul(ssum, eband,
+                            preferred_element_type=jnp.float32)
+        return power / (energy[..., None, :] + jnp.float32(1e-12))
+    energy = jnp.matmul(sq, eband,
                         preferred_element_type=jnp.float32)
     return power / (energy + jnp.float32(1e-12))
 

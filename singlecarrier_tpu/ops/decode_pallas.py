@@ -807,28 +807,38 @@ def _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref, pn_ref,
     # statistic; PEAK stays raw power at the chosen lag (gate
     # semantics unchanged -- config.hunt_norm)
     en = None
-    if hunt_norm == "energy":
+    if hunt_norm in ("energy", "espan"):
         # f32 band matmuls mirroring the XLA _hunt_metric contraction.
-        # Measured variants at the bench geometry (don't redo): this
-        # per-phase f32 form costs 5% of the pipeline (6.40 -> 6.08
-        # GS/s); bf16 operands are SLOWER (5.94-5.97 -- the cast wide
-        # ops and mixed-precision relayouts outweigh the MXU-rate win
-        # in this issue-bound kernel), as is batching all phases into
-        # one matmul via a sublane concat; the one-hot raw-peak
+        # Measured variants at the bench geometry (don't redo): the
+        # per-phase f32 "energy" form costs 5% of the pipeline (6.40 ->
+        # 6.08 GS/s); bf16 operands are SLOWER (5.94-5.97 -- the cast
+        # wide ops and mixed-precision relayouts outweigh the MXU-rate
+        # win in this issue-bound kernel), as is batching all phases
+        # into one matmul via a sublane concat; the one-hot raw-peak
         # readback below is free (5.97 with it stubbed out).
-        en = []
-        for c in range(cyc):
-            sq = (wins[c][0].astype(f32) * wins[c][0].astype(f32)
-                  + wins[c][1].astype(f32) * wins[c][1].astype(f32))
+        # "espan" sums the squared planes across phases FIRST (the
+        # full-rate span energy, 5x the samples in the estimate) so
+        # only ONE band contraction runs instead of cyc.
+        def _eband_contract(sq):
             if lag_tiles:
                 tiles = [
                     jnp.dot(sq[:, t * 128:t * 128 + lag_kwin],
                             eband_ref[t], preferred_element_type=f32)
                     for t in range(lag_tiles)]
-                en.append(jnp.concatenate(tiles, axis=1))
-            else:
-                en.append(jnp.dot(sq[:, :klen], eband_ref[...],
-                                  preferred_element_type=f32))
+                return jnp.concatenate(tiles, axis=1)
+            return jnp.dot(sq[:, :klen], eband_ref[...],
+                           preferred_element_type=f32)
+
+        sqs = [wins[c][0].astype(f32) * wins[c][0].astype(f32)
+               + wins[c][1].astype(f32) * wins[c][1].astype(f32)
+               for c in range(cyc)]
+        if hunt_norm == "espan":
+            ssum = sqs[0]
+            for c in range(1, cyc):
+                ssum = ssum + sqs[c]
+            en = [_eband_contract(ssum)] * cyc
+        else:
+            en = [_eband_contract(sq) for sq in sqs]
 
     # argmax over (phase, lag): per-phase lane argmax + running best
     # with strict > across ascending phases == XLA's first-max flat

@@ -171,6 +171,46 @@ def test_batch_rx_fuse_frontend_one_kernel():
                            np.asarray(st2.fir_tail.imag), atol=1e-6)
 
 
+def test_batch_rx_espan_hunt_norm_matches_xla_and_decodes():
+    """cfg.hunt_norm="espan" (shared full-rate-span energy normalizer):
+    the fused kernels' one-contraction denominator must reproduce the
+    XLA oracle's decisions exactly (the phase-summed squared planes are
+    mirrored add-for-add), through BOTH the two-kernel and the
+    one-kernel paths, and still decode the sent payload."""
+    bits, frames = _frames(seed=53)
+    n = len(frames)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    for cfg in (CFG.replace(hunt_norm="espan"),
+                CFG.replace(hunt_norm="espan", hunt_dtype="int8",
+                            decim_dtype="bf16")):
+        _, out_x = prod_rx_batch(
+            cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+            block_channels=4, decode_block_channels=4, fuse_hunt=False,
+            interpret=True)
+        _, out_2 = prod_rx_batch(
+            cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+            block_channels=4, decode_block_channels=4, interpret=True)
+        _, out_1 = prod_rx_batch(
+            cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+            block_channels=4, decode_block_channels=4,
+            fuse_frontend=True, interpret=True)
+
+        v = np.asarray(out_x.valid)
+        for out_p in (out_2, out_1):
+            assert np.array_equal(np.asarray(out_p.valid), v)
+            assert np.array_equal(np.asarray(out_p.lag),
+                                  np.asarray(out_x.lag))
+            assert np.array_equal(np.asarray(out_p.timing_phase),
+                                  np.asarray(out_x.timing_phase))
+            assert np.array_equal(np.asarray(out_p.bits)[v],
+                                  np.asarray(out_x.bits)[v])
+        got = np.asarray(out_1.bits)[:, 0][v[:, 0]]
+        assert np.array_equal(got, bits.reshape(-1, CFG.bits_per_frame))
+
+
 def test_superstep_stream_matches_batch():
     """prod_rx_stream_superstep (scan over K-block groups, batch path
     inside) reproduces one big batch call exactly -- the splice between

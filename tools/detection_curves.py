@@ -77,6 +77,11 @@ def main() -> int:
                     help="comma list of corr_segments values to sweep "
                          "over the Pd grid (e.g. 8,16,32); adds a "
                          "high-CFO segment-sweep section")
+    ap.add_argument("--hunt-norm", default=None,
+                    choices=[None, "energy", "espan", "none"],
+                    help="override cfg.hunt_norm for every RX config "
+                         "(A/B the argmax statistic before flipping "
+                         "the default)")
     ap.add_argument("--seg-cfos", default="30,40,50",
                     help="CFO grid for the --segments sweep")
     ap.add_argument("--seg-snrs", default="2,4,6",
@@ -98,9 +103,11 @@ def main() -> int:
     from singlecarrier_tpu.modem.rx_production import prod_rx_batch
 
     fused = args.path == "fused"
+    BASE = (DEFAULT_CONFIG if not args.hunt_norm
+            else DEFAULT_CONFIG.replace(hunt_norm=args.hunt_norm))
     report = {"device": str(jax.devices()[0]),
               "match_threshold": DEFAULT_CONFIG.match_threshold,
-              "path": args.path,
+              "path": args.path, "hunt_norm": BASE.hunt_norm,
               "gates": GATES, "pfa": {}, "pd": {}}
 
     def run_stats(cfg, pcm_frames):
@@ -129,7 +136,7 @@ def main() -> int:
 
     B, C = args.noise_blocks, args.noise_channels
     for hd in ("bf16", "int8"):
-        cfg = DEFAULT_CONFIG.replace(hunt_dtype=hd, decim_dtype="bf16")
+        cfg = BASE.replace(hunt_dtype=hd, decim_dtype="bf16")
 
         @jax.jit
         def noise(key):
@@ -160,8 +167,7 @@ def main() -> int:
     snrs = [float(s) for s in args.snrs.split(",")]
     cfos = [float(f) for f in args.cfos.split(",")]
     Cp, P = args.pd_channels, args.pd_packets
-    cfgs = {hd: DEFAULT_CONFIG.replace(hunt_dtype=hd,
-                                       decim_dtype="bf16")
+    cfgs = {hd: BASE.replace(hunt_dtype=hd, decim_dtype="bf16")
             for hd in ("bf16", "int8")}
     rng = np.random.default_rng(123)
     bits = rng.integers(
@@ -266,7 +272,7 @@ def main() -> int:
             "hunt_dtype": "int8", "gate": DEFAULT_CONFIG.peak_gate,
             "pd": {}, "pfa": {}}
         for s in segs:
-            scfg = DEFAULT_CONFIG.replace(
+            scfg = BASE.replace(
                 hunt_dtype="int8", decim_dtype="bf16",
                 corr_segments=s)
             # noise Pfa at the effective (segment-normalized) gate --

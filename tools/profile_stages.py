@@ -82,7 +82,7 @@ def main() -> None:
                     choices=[None, "direct", "sliding"],
                     help="override cfg.ls_gram")
     ap.add_argument("--hunt-norm", default=None,
-                    choices=[None, "energy", "none"],
+                    choices=[None, "energy", "espan", "none"],
                     help="override cfg.hunt_norm")
     args = ap.parse_args()
 

@@ -71,7 +71,7 @@ def main() -> int:
                     help="override cfg.hunt_dtype (int8 = quantized "
                          "MXU hunt; both paths quantize identically)")
     ap.add_argument("--hunt-norm", default=None,
-                    choices=[None, "energy", "none"],
+                    choices=[None, "energy", "espan", "none"],
                     help="override cfg.hunt_norm (energy-normalized "
                          "hunt argmax vs the raw-power statistic)")
     ap.add_argument("--decim-dtype", default=None,
