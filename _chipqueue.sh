@@ -8,14 +8,14 @@ run() { echo "=== $(date +%H:%M:%S) ${@:2}" >> /tmp/chipq.log; timeout "$1" "${@
 # headline + real-packet stream (BENCH_REALSTREAM.json by hand)
 run 2400 python bench.py
 run 2400 python bench.py --real-stream
-# on-chip parity: six pinned configs (hunt_norm=energy default since r5)
+# on-chip parity: six pinned configs (hunt_norm=espan default since r5)
 run 2400 python tools/tpu_parity.py --fuse-frontend
 run 2400 python tools/tpu_parity.py --fuse-frontend --hunt-dtype int8 --decim-dtype bf16 --out PARITY_TPU_INT8.json
 run 2400 python tools/tpu_parity.py --fuse-frontend --decim-dtype bf16 --out PARITY_TPU_BF16.json
 run 2400 python tools/tpu_parity.py --fuse-frontend --hunt-dtype int8 --decim-dtype bf16 --cfo-dtype bf16 --out PARITY_TPU_CFO16.json
 run 2400 python tools/tpu_parity.py --frac-timing --scan-pallas --out PARITY_TPU_FRAC.json
 run 2400 python tools/tpu_parity.py --alpha 0.5 --scan-pallas --out PARITY_TPU_WIDE.json
-# detector characterization: SHIPPED fused path, energy-normalized
+# detector characterization: SHIPPED fused path, espan-normalized
 # argmax, 1M noise blocks, corr_segments sweep (DETECTION.md)
 run 7200 python tools/detection_curves.py --segments 8,16
 # BER through the fused kernel: data-section-power calibration,

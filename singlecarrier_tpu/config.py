@@ -167,8 +167,9 @@ class ModemConfig:
                                   # throughput deployments (on-chip
                                   # parity gate: tools/tpu_parity.py
                                   # --decim-dtype bf16)
-    hunt_norm: str = "energy"     # hunt argmax statistic ("energy" |
-                                  # "espan" | "none").  "espan"
+    hunt_norm: str = "espan"      # hunt argmax statistic ("espan" |
+                                  # "energy" | "none").  "espan"
+                                  # (default since round 5 final)
                                   # normalizes by the full-rate SPAN
                                   # energy shared across the cyc
                                   # decimation phases (the phase-summed
@@ -177,7 +178,18 @@ class ModemConfig:
                                   # CFAR mechanism, 5x the samples in
                                   # the denominator estimate, ~4/5 of
                                   # the normalizer's matmul work
-                                  # removed.  "energy" (default since
+                                  # removed.  Measured vs "energy"
+                                  # (same-session A/B + on-chip fused-
+                                  # path curves): +4.1% headline (6.34
+                                  # vs 6.09 GS/s), identical Pd at the
+                                  # CFO edge (1.000 at 40 Hz to 2 dB,
+                                  # >=0.997 at 50 Hz), and 4x LOWER
+                                  # noise Pfa at gate 7 (2.9e-6 vs
+                                  # 1.24e-5 -- the less-noisy shared
+                                  # denominator removes knife-edge
+                                  # argmax flips onto gate-passing
+                                  # lags).  "energy" is the per-phase
+                                  # normalizer it generalizes
                                   # round 5) normalizes the segmented
                                   # correlation power by the per-lag
                                   # window energy before the argmax --

@@ -148,7 +148,8 @@ def _segment_band_matrix(n_lags: int, n_segments: int, p: int):
 def _energy_band_matrix(n_lags: int, p: int):
     """Ones band E[w, l] = 1 for l <= w < l + p: contracting the
     squared-magnitude planes against it gives the per-lag window
-    energy (the denominator of the hunt_norm="energy" statistic)."""
+    energy (the denominator of the hunt_norm="energy"/"espan"
+    statistics)."""
     win = n_lags + p - 1
     b = np.zeros((win, n_lags), np.float32)
     for l in range(n_lags):

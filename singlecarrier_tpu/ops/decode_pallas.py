@@ -111,7 +111,7 @@ def _reduce_last(x):
 @functools.lru_cache(maxsize=8)
 def _energy_band_smaj(n_lags: int, n_lags_pad: int, p: int, off: int,
                       klen_pad: int = 0):
-    """Ones band for the per-lag window ENERGY (hunt_norm="energy"
+    """Ones band for the per-lag window ENERGY (hunt_norm="energy"/"espan"
     denominator): E[off + l + k, l] = 1 for k < p.  Same row
     conventions as _segment_band_matrix_smaj.  Pad lag columns are
     zero -> zero energy -> zero normalized metric (never win)."""
@@ -802,7 +802,7 @@ def _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref, pn_ref,
                                     (s + 1) * n_lags_pad]
                 pw[c] = acc
 
-    # hunt_norm="energy": per-lag window energy (f32 band matmuls
+    # hunt_norm="energy"/"espan": per-lag window energy (f32 band matmuls
     # mirroring rx_production._hunt_metric) normalizes the argmax
     # statistic; PEAK stays raw power at the chosen lag (gate
     # semantics unchanged -- config.hunt_norm)

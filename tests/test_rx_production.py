@@ -246,15 +246,17 @@ def test_energy_normalized_hunt_rescues_cfo_edge():
             det += len(assigned)
         return det
 
-    # 40 Hz (the claimed tolerance edge): every packet detects.
+    # 40 Hz (the claimed tolerance edge): every packet detects under
+    # BOTH normalizers (espan = the shipped default, energy = the
+    # per-phase variant it generalizes).
     pcm = mk(jnp.asarray(bits), jax.random.PRNGKey(1), 40.0)
     assert detections(CFG, pcm) == C * P
-    assert detections(CFG.replace(hunt_norm="espan"), pcm) == C * P
+    assert detections(CFG.replace(hunt_norm="energy"), pcm) == C * P
     assert detections(CFG.replace(hunt_norm="none"), pcm) < C * P
     # 50 Hz (beyond the design point): near-complete vs collapsed.
     pcm = mk(jnp.asarray(bits), jax.random.PRNGKey(1), 50.0)
     assert detections(CFG, pcm) >= int(0.9 * C * P)
-    assert detections(CFG.replace(hunt_norm="espan"),
+    assert detections(CFG.replace(hunt_norm="energy"),
                       pcm) >= int(0.9 * C * P)
     assert detections(CFG.replace(hunt_norm="none"), pcm) <= C * P // 2
 
