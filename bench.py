@@ -100,6 +100,9 @@ def main() -> None:
                     help="override cfg.cfo_nfft (CFO-search DFT "
                          "size; 512 default kills the parabolic-"
                          "interpolation bias, config.py)")
+    ap.add_argument("--refit-symbols", type=int, default=None,
+                    help="override cfg.ls_refit_symbols (refit-window "
+                         "throughput knob; 0 = full data section)")
     ap.add_argument("--refit-iters", type=int, default=None,
                     help="override cfg.ls_refit_iters (decode-tail "
                          "cost/quality tradeoff measurement)")
@@ -207,6 +210,8 @@ def main() -> None:
         cfg = cfg.replace(cfo_nfft=args.cfo_nfft)
     if args.refit_iters is not None:
         cfg = cfg.replace(ls_refit_iters=args.refit_iters)
+    if args.refit_symbols is not None:
+        cfg = cfg.replace(ls_refit_symbols=args.refit_symbols)
     if args.refine_iters is not None:
         cfg = cfg.replace(phase_refine_iters=args.refine_iters)
 

@@ -141,7 +141,7 @@ def slice_qpsk(raw):
 
 
 def ls_refit(symbols, start, coeff, n_data: int, reg: float = 1e-3,
-             offtap_reg=None):
+             offtap_reg=None, n_fit: int = 0):
     """Decision-directed LS refit on the data section.
 
     The preamble transmits at HALF the data amplitude (qpsk.c:313-319),
@@ -151,9 +151,15 @@ def ls_refit(symbols, start, coeff, n_data: int, reg: float = 1e-3,
     one 5x5 solve; decisions that are wrong act as bounded noise in the
     fit (standard decision-directed LS).
 
+    ``n_fit`` (config.ls_refit_symbols): fit on only the FIRST n_fit
+    data windows (0 = all ``n_data``) -- the throughput knob of the
+    fused kernels' refit stage, mirrored here so the XLA oracle stays
+    the parity surface.
+
     Returns the refitted coeff.
     """
     L = coeff.shape[-1]
+    n_data = n_fit if n_fit else n_data
     C = window_matrix(symbols, start, n_data, L)
     hi = lax.Precision.HIGHEST
     raw = jnp.matmul(C, coeff[..., None], precision=hi)[..., 0]

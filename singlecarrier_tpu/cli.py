@@ -43,6 +43,8 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
                    choices=["energy", "espan", "none"])
     p.add_argument("--refit-iters", type=int,
                    default=DEFAULT_CONFIG.ls_refit_iters)
+    p.add_argument("--refit-symbols", type=int,
+                   default=DEFAULT_CONFIG.ls_refit_symbols)
     p.add_argument("--refine-iters", type=int,
                    default=DEFAULT_CONFIG.phase_refine_iters)
 
@@ -54,6 +56,7 @@ def _cfg_from(args) -> ModemConfig:
         hunt_dtype=args.hunt_dtype, decim_dtype=args.decim_dtype,
         cfo_dtype=args.cfo_dtype, hunt_norm=args.hunt_norm,
         ls_refit_iters=args.refit_iters,
+        ls_refit_symbols=args.refit_symbols,
         phase_refine_iters=args.refine_iters)
 
 

@@ -287,6 +287,19 @@ class ModemConfig:
                                   # drops; see ls_equalizer.
                                   # phase_refine)
     ls_refit_iters: int = 1       # decision-directed LS refit passes
+    ls_refit_symbols: int = 0     # refit window: fit the decision-
+                                  # directed refit on only the FIRST
+                                  # this-many data symbols (0 = the
+                                  # full ns*data_symbols section).
+                                  # The refit's Gram/b-vector/apply
+                                  # wide ops scale with the window
+                                  # while its denoising averages
+                                  # ~1/sqrt(window) -- a throughput
+                                  # knob for deployments that can
+                                  # spend ~0.1 dB (measure with
+                                  # ber.py before changing; the
+                                  # default keeps the full window =
+                                  # the bit-exact pre-knob behavior)
     frac_timing: bool = False     # sub-sample timing recovery: parabolic
                                   # interpolation of the correlation peak
                                   # + 2-tap fractional-delay blend at
@@ -447,6 +460,10 @@ class ModemConfig:
             raise ValueError(
                 f"hunt_norm must be energy|espan|none, got "
                 f"{self.hunt_norm}")
+        if not 0 <= self.ls_refit_symbols <= self.frame_symbols:
+            raise ValueError(
+                f"ls_refit_symbols must be in [0, "
+                f"{self.frame_symbols}], got {self.ls_refit_symbols}")
         if self.ls_offtap_reg < 0 or self.ls_offtap_reg_refit < 0:
             raise ValueError("ls_offtap_reg(_refit) must be >= 0")
         if self.preamble_length > self.symbols_per_block:

@@ -358,7 +358,8 @@ def _train_and_decode(cfg: ModemConfig, pkt):
     C_pre = window_matrix(pkt, off, cfg.preamble_length, cfg.eq_length)
     for _ in range(cfg.ls_refit_iters):
         cand = ls_refit(pkt, start, coeff, cfg.frame_symbols,
-                        offtap_reg=cfg.ls_offtap_reg_refit)
+                        offtap_reg=cfg.ls_offtap_reg_refit,
+                        n_fit=cfg.ls_refit_symbols)
         m_old = jnp.sum(((C_pre @ coeff).real * pre_real) > 0, axis=-1)
         m_new = jnp.sum(((C_pre @ cand).real * pre_real) > 0, axis=-1)
         keep = (m_new >= m_old)

@@ -370,13 +370,15 @@ def _slice_hard(ar, ai):
 def _decode_kernel(pkt_ref, peak_ref, wr_ref, wi_ref, pn_ref, pnb_ref,
                    mask_ref, out_ref, *, P, D, L, off, nfft, rs,
                    peak_gate, ls_reg, refit_iters, refine_iters,
+                   refit_sym=0,
                    gram="direct", bvec="reduce", cfo_dtype="f32",
                    ls_offtap=None, ls_offtap_refit=None):
     _decode_core(pkt_ref[:, 0, :], pkt_ref[:, 1, :], peak_ref[:, 0, :],
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :], pnb_ref[0],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
-                 refit_iters=refit_iters, refine_iters=refine_iters,
+                 refit_iters=refit_iters, refit_sym=refit_sym,
+                 refine_iters=refine_iters,
                  gram=gram, bvec=bvec, cfo_dtype=cfo_dtype,
                  ls_offtap=ls_offtap, ls_offtap_refit=ls_offtap_refit)
 
@@ -395,7 +397,8 @@ def _probe_out(out_ref, D, *vals):
 
 def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
                  L, off, nfft, rs, peak_gate, ls_reg, refit_iters,
-                 refine_iters, gram: str = "direct",
+                 refine_iters, refit_sym: int = 0,
+                 gram: str = "direct",
                  bvec: str = "reduce", cfo_dtype: str = "f32",
                  ls_offtap=None, ls_offtap_refit=None,
                  stage: str = "full"):
@@ -481,17 +484,25 @@ def _decode_core(pr0, pi0, peak, wr, wi, pn, pnb, m, out_ref, *, P, D,
         return _probe_out(out_ref, D, matches, *cr, *ci)
 
     # ---- guarded decision-directed refit on the data ----
+    # refit_sym (config.ls_refit_symbols): R < D fits on only the
+    # FIRST R data windows -- the Gram/b-vector/apply wide work scales
+    # with R while the refit keeps most of its denoising leverage
+    # (the fit averages decision noise ~1/sqrt(R)).  R = 0 -> full D
+    # (identical fp sequence to the pre-knob kernel).
+    R = refit_sym if refit_sym else D
     dstart = off + P - (L // 2)
     dat_r = pr[:, dstart:dstart + D + L - 1]
     dat_i = pi_[:, dstart:dstart + D + L - 1]
+    rdat_r = dat_r[:, :R + L - 1]
+    rdat_i = dat_i[:, :R + L - 1]
     for _ in range(refit_iters):
-        ar, ai = _apply(dat_r, dat_i, cr, ci, L, D)
+        ar, ai = _apply(rdat_r, rdat_i, cr, ci, L, R)
         dib, hr, hh = _slice_hard(ar, ai)
-        mag_raw = _reduce_last(jnp.sqrt(ar * ar + ai * ai)) / D
-        mag_h = _reduce_last(jnp.sqrt(hr * hr + hh * hh)) / D + 1e-12
+        mag_raw = _reduce_last(jnp.sqrt(ar * ar + ai * ai)) / R
+        mag_h = _reduce_last(jnp.sqrt(hr * hr + hh * hh)) / R + 1e-12
         scale = mag_raw / mag_h
-        cr2, ci2 = _fit(dat_r, dat_i, hr * scale, hh * scale, L,
-                        1e-3, D, gram=gram, offtap=ls_offtap_refit)
+        cr2, ci2 = _fit(rdat_r, rdat_i, hr * scale, hh * scale, L,
+                        1e-3, R, gram=gram, offtap=ls_offtap_refit)
         vr2 = _apply_real(win_r, win_i, cr2, ci2, L, P)
         m2 = _reduce_last((vr2 * pn > 0.0).astype(f32))
         keep = (m2 >= matches).astype(f32)
@@ -652,6 +663,7 @@ def fused_decode(cfg: ModemConfig, pkt_r, pkt_i, peak, *,
         ls_offtap=cfg.ls_offtap_reg,
         ls_offtap_refit=cfg.ls_offtap_reg_refit,
         refit_iters=cfg.ls_refit_iters,
+        refit_sym=cfg.ls_refit_symbols,
         refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram,
         bvec=bvec, cfo_dtype=cfg.cfo_dtype)
 
@@ -695,6 +707,7 @@ def _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref, pn_ref,
                       n_lags, n_lags_pad, segs_per_chunk, n_chunks,
                       klen, P, D, L, off, nfft, rs, peak_gate, ls_reg,
                       refit_iters, refine_iters, hunt_mode,
+                      refit_sym=0,
                       hunt_scale, gram: str = "direct",
                       bvec: str = "reduce", cfo_dtype: str = "f32",
                       lag_tiles: int = 0, lag_kwin: int = 384,
@@ -903,7 +916,8 @@ def _hunt_decode_core(wins, mat_ref, eband_ref, wr_ref, wi_ref, pn_ref,
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :], pnb_ref[0],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
-                 refit_iters=refit_iters, refine_iters=refine_iters,
+                 refit_iters=refit_iters, refit_sym=refit_sym,
+                 refine_iters=refine_iters,
                  gram=gram, bvec=bvec, cfo_dtype=cfo_dtype,
                  ls_offtap=ls_offtap, ls_offtap_refit=ls_offtap_refit,
                  stage=stage)
@@ -1060,6 +1074,7 @@ def fused_hunt_decode_decim(cfg: ModemConfig, decim_prev0, decim_cur,
         ls_offtap=cfg.ls_offtap_reg,
         ls_offtap_refit=cfg.ls_offtap_reg_refit,
         refit_iters=cfg.ls_refit_iters,
+        refit_sym=cfg.ls_refit_symbols,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
         cfo_dtype=cfg.cfo_dtype,
@@ -1126,7 +1141,7 @@ def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
                            wi_ref, pn_ref, pnb_ref, mask_ref, out_ref,
                            *, cyc, wp, pkt_len, P, D, L, off, nfft,
                            rs, peak_gate, ls_reg, refit_iters,
-                           refine_iters, gram="direct",
+                           refine_iters, refit_sym=0, gram="direct",
                            bvec="reduce", cfo_dtype="f32",
                            ls_offtap=None, ls_offtap_refit=None):
     """Decode with IN-KERNEL packet extraction.
@@ -1172,7 +1187,8 @@ def _decode_extract_kernel(win_ref, lag_ref, ph_ref, peak_ref, wr_ref,
                  wr_ref[0], wi_ref[0], pn_ref[0, 0:1, :], pnb_ref[0],
                  mask_ref[0, 0:1, :], out_ref, P=P, D=D, L=L, off=off,
                  nfft=nfft, rs=rs, peak_gate=peak_gate, ls_reg=ls_reg,
-                 refit_iters=refit_iters, refine_iters=refine_iters,
+                 refit_iters=refit_iters, refit_sym=refit_sym,
+                 refine_iters=refine_iters,
                  gram=gram, bvec=bvec, cfo_dtype=cfo_dtype,
                  ls_offtap=ls_offtap, ls_offtap_refit=ls_offtap_refit)
 
@@ -1223,6 +1239,7 @@ def fused_decode_extract(cfg: ModemConfig, windows, lag, phase_idx,
         ls_offtap=cfg.ls_offtap_reg,
         ls_offtap_refit=cfg.ls_offtap_reg_refit,
         refit_iters=cfg.ls_refit_iters,
+        refit_sym=cfg.ls_refit_symbols,
         refine_iters=cfg.phase_refine_iters, gram=cfg.ls_gram,
         bvec=bvec, cfo_dtype=cfg.cfo_dtype)
 

@@ -443,6 +443,7 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
         ls_offtap=cfg.ls_offtap_reg,
         ls_offtap_refit=cfg.ls_offtap_reg_refit,
         refit_iters=cfg.ls_refit_iters,
+        refit_sym=cfg.ls_refit_symbols,
         refine_iters=cfg.phase_refine_iters, hunt_mode=cfg.hunt_dtype,
         hunt_scale=cfg.hunt_int8_scale, gram=cfg.ls_gram, bvec=bvec,
         cfo_dtype=cfg.cfo_dtype,

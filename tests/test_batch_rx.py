@@ -211,6 +211,36 @@ def test_batch_rx_espan_hunt_norm_matches_xla_and_decodes():
         assert np.array_equal(got, bits.reshape(-1, CFG.bits_per_frame))
 
 
+def test_batch_rx_refit_symbols_matches_xla_and_decodes():
+    """cfg.ls_refit_symbols (refit-window throughput knob): the fused
+    kernels fit the decision-directed refit on the first R data windows
+    only; the XLA oracle mirrors it (ls_equalizer.ls_refit n_fit), so
+    decisions must stay identical between paths, and on a clean stream
+    the truncated refit must still decode the payload bit-exact."""
+    bits, frames = _frames(seed=59)
+    n = len(frames)
+    C = 4
+    batch = jnp.asarray(np.broadcast_to(
+        frames[:, None, :], (n, C, CFG.frame_size)).copy())
+
+    cfg = CFG.replace(ls_refit_symbols=128)
+    _, out_x = prod_rx_batch(
+        cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4, fuse_hunt=False,
+        interpret=True)
+    _, out_1 = prod_rx_batch(
+        cfg, prod_rx_init(cfg, (C,)), batch, descramble=False,
+        block_channels=4, decode_block_channels=4,
+        fuse_frontend=True, interpret=True)
+
+    v = np.asarray(out_x.valid)
+    assert np.array_equal(np.asarray(out_1.valid), v)
+    assert np.array_equal(np.asarray(out_1.bits)[v],
+                          np.asarray(out_x.bits)[v])
+    got = np.asarray(out_1.bits)[:, 0][v[:, 0]]
+    assert np.array_equal(got, bits.reshape(-1, CFG.bits_per_frame))
+
+
 def test_superstep_stream_matches_batch():
     """prod_rx_stream_superstep (scan over K-block groups, batch path
     inside) reproduces one big batch call exactly -- the splice between
