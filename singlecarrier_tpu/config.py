@@ -183,12 +183,13 @@ class ModemConfig:
                                   # path curves): +4.1% headline (6.34
                                   # vs 6.09 GS/s), identical Pd at the
                                   # CFO edge (1.000 at 40 Hz to 2 dB,
-                                  # >=0.997 at 50 Hz), and 4x LOWER
-                                  # noise Pfa at gate 7 (2.9e-6 vs
-                                  # 1.24e-5 -- the less-noisy shared
-                                  # denominator removes knife-edge
-                                  # argmax flips onto gate-passing
-                                  # lags).  "energy" is the per-phase
+                                  # >=0.997 at 50 Hz), identical noise
+                                  # Pfa (3/1M blocks at gate 7/int8,
+                                  # matching the committed "energy"
+                                  # characterization; the 5x-larger
+                                  # denominator sample changes no
+                                  # measured operating point).
+                                  # "energy" is the per-phase
                                   # normalizer it generalizes
                                   # round 5) normalizes the segmented
                                   # correlation power by the per-lag
