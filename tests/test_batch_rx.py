@@ -308,7 +308,12 @@ def test_batch_rx_int8_hunt_matches_xla_and_decodes():
         interpret=True)
     assert np.array_equal(np.asarray(out_f.valid),
                           np.asarray(out_ref.valid))
-    assert np.array_equal(np.asarray(out_f.lag), np.asarray(out_ref.lag))
+    # lag compared on DETECTED blocks only: on the no-signal tail
+    # blocks the espan-normalized statistic is a ~0/~0 knife-edge and
+    # the int8-vs-bf16 argmax legitimately lands on different
+    # (discarded) lags -- only gated decisions are noise-margined
+    assert np.array_equal(np.asarray(out_f.lag)[v],
+                          np.asarray(out_ref.lag)[v])
     # peak statistic back in matched-filter units (1/s^2 rescale).
     # On a CLEAN repeated stream the round() bias is COHERENT across
     # chips (every chip of the matched preamble rounds the same way),
