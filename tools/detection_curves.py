@@ -326,7 +326,8 @@ def main() -> int:
     lines = [
         "# Detector operating point (measured on hardware)",
         "",
-        f"Device: {report['device']}.  Measured through {pathdesc}.  "
+        f"Device: {report['device']}.  Measured through {pathdesc} "
+        f"at `hunt_norm=\"{report['hunt_norm']}\"`.  "
         "Criterion: "
         "`valid = (corr_peak > gate * window_energy) & "
         f"(matches > {report['match_threshold']})` -- the energy gate "
