@@ -188,6 +188,18 @@ def main() -> None:
         # detected by both paths; one gate-marginal noise block may
         # flip -- config.py hunt_dtype docstring)
         args.hunt_dtype = "int8"
+    if args.refit_symbols is None and args.mode in ("production",
+                                                    "production-scan"):
+        # refit window 128 (of 248): the decision-directed refit's
+        # Gram/b-vector/apply wide ops scale with the window.  Quality
+        # gates, all measured round 5: AWGN BER equal within CIs at
+        # 2/4/6 dB (317k bits/point, /tmp-queue3 -> BER_PALLAS rows),
+        # 35 Hz CFO edge equal, harsh-echo (1.4 sym, -6 dB) BER equal
+        # (3.3e-4 vs 3.4e-4 at 10 dB -- 128 full-power symbols carry
+        # the same off-tap evidence as the 128-chip preamble).  64
+        # measures +6% throughput but 1.7x the echo errors -- knob
+        # left to deployments (config.ls_refit_symbols).
+        args.refit_symbols = 128
     if args.decim_dtype:
         cfg = cfg.replace(decim_dtype=args.decim_dtype)
     if args.hunt_dtype:

@@ -293,14 +293,23 @@ class ModemConfig:
                                   # this-many data symbols (0 = the
                                   # full ns*data_symbols section).
                                   # The refit's Gram/b-vector/apply
-                                  # wide ops scale with the window
-                                  # while its denoising averages
-                                  # ~1/sqrt(window) -- a throughput
-                                  # knob for deployments that can
-                                  # spend ~0.1 dB (measure with
-                                  # ber.py before changing; the
-                                  # default keeps the full window =
-                                  # the bit-exact pre-knob behavior)
+                                  # wide ops scale with the window.
+                                  # MEASURED round 5 (317k bits/pt,
+                                  # Wilson CIs; echo on CPU oracle):
+                                  # 128 is loss-free on every axis --
+                                  # AWGN 2/4/6 dB equal within CIs,
+                                  # 35 Hz CFO edge equal, harsh-echo
+                                  # (1.4 sym/-6 dB at 10 dB) 3.3e-4
+                                  # vs 3.4e-4 -- and buys +1.3%
+                                  # pipeline; bench.py runs 128 as
+                                  # its operating point (parity pin
+                                  # PARITY_TPU_R128.json).  64 buys
+                                  # +6% but costs ~0.1 dB AWGN, ~12%
+                                  # more errors at the CFO edge, and
+                                  # 1.7x the echo errors.  Library
+                                  # default 0 keeps the bit-exact
+                                  # pre-knob behavior (the parity
+                                  # surface)
     frac_timing: bool = False     # sub-sample timing recovery: parabolic
                                   # interpolation of the correlation peak
                                   # + 2-tap fractional-delay blend at

@@ -64,6 +64,9 @@ def main() -> int:
     ap.add_argument("--refit-iters", type=int, default=None,
                     help="override cfg.ls_refit_iters (both paths; "
                          "decode-kernel numerics bisection)")
+    ap.add_argument("--refit-symbols", type=int, default=None,
+                    help="override cfg.ls_refit_symbols (the bench "
+                         "operating point runs 128; pin it)")
     ap.add_argument("--refine-iters", type=int, default=None,
                     help="override cfg.phase_refine_iters (both paths)")
     ap.add_argument("--hunt-dtype", default=None,
@@ -116,6 +119,8 @@ def main() -> int:
         cfg = cfg.replace(frontend_dtype=args.frontend_dtype)
     if args.refit_iters is not None:
         cfg = cfg.replace(ls_refit_iters=args.refit_iters)
+    if args.refit_symbols is not None:
+        cfg = cfg.replace(ls_refit_symbols=args.refit_symbols)
     if args.refine_iters is not None:
         cfg = cfg.replace(phase_refine_iters=args.refine_iters)
     if args.alpha is not None:
