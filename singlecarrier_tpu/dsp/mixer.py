@@ -41,6 +41,25 @@ def mixer_table(freq_hz: float, fs: float, n: int) -> np.ndarray:
     return np.exp(1j * w * (np.arange(1, n + 1))).astype(np.complex64)
 
 
+def downmix_tail(center: float, fs: float, n: int, halo: int,
+                 x_t, ph_r, ph_i):
+    """Downmixed FIR-tail planes from RAW tail samples (closed form).
+
+    ``x_t``: [..., halo] f32 last-halo raw samples already scaled to
+    matched-filter units; ``ph_r``/``ph_i``: phase planes at the START
+    of the block the samples came from, broadcastable against x_t.
+    This is the parity-critical carry-out formula shared by
+    fused_rx_block's final-state glue, prod_rx_batch's per-block tail
+    assembly, and the gated pipeline's pair seeds -- one definition so
+    the three stay fp-identical (code-review r5 finding #2).
+    """
+    table = mixer_table(-center, fs, n)
+    tr = jnp.asarray(table.real[n - halo:])
+    ti = jnp.asarray(table.imag[n - halo:])
+    return (x_t * (ph_r * tr - ph_i * ti),
+            x_t * (ph_r * ti + ph_i * tr))
+
+
 def mix_block(x, phase, freq_hz: float, fs: float):
     """Mix a block; returns ``(y, new_phase)``.
 

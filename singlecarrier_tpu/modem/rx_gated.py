@@ -46,9 +46,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModemConfig
-from ..dsp.mixer import mixer_table
+from ..dsp.mixer import downmix_tail
 from ..ops.fused_rx import fused_rx_block
-from .rx_production import prod_rx_init_planes
+from .rx_production import (_auto_cb, dibits_to_bits,
+                            prod_rx_init_planes)
 
 
 class GatedRxState(NamedTuple):
@@ -110,9 +111,6 @@ def _pair_operands(cfg: ModemConfig, gated, pcm, p0r, p0i, K,
     pr = p0r[c_idx] * ar - p0i[c_idx] * ai
     pi = p0r[c_idx] * ai + p0i[c_idx] * ar
     # FIR tail entering block b-1 = downmixed halo of block b-2's PCM
-    table = mixer_table(-cfg.center, cfg.fs, n)
-    tab_r = jnp.asarray(table.real[n - halo:])
-    tab_i = jnp.asarray(table.imag[n - halo:])
     advm2 = np.exp(1j * w_ * n * (np.arange(B + 1) - 2.0)
                    ).astype(np.complex64)
     ar2 = jnp.asarray(advm2.real)[b_idx]
@@ -126,8 +124,8 @@ def _pair_operands(cfg: ModemConfig, gated, pcm, p0r, p0i, K,
                   pcm_prev[c_idx][:, n - halo:],
                   pcm_prev2_tail[c_idx]))
     x_t = raw_t.astype(jnp.float32) / cfg.tx_amplitude
-    tl_r = x_t * (pr2[:, None] * tab_r - pi2[:, None] * tab_i)
-    tl_i = x_t * (pr2[:, None] * tab_i + pi2[:, None] * tab_r)
+    tl_r, tl_i = downmix_tail(cfg.center, cfg.fs, n, halo, x_t,
+                              pr2[:, None], pi2[:, None])
     return (jnp.stack([prev, cur], 0), pr, pi, tl_r, tl_i,
             order, b_idx, c_idx)
 
@@ -150,7 +148,10 @@ def prod_rx_batch_gated(cfg: ModemConfig, state: GatedRxState,
     n = cfg.frame_size
     halo = cfg.ntaps - 1
     K = max_detections
-    cb = block_channels if block_channels else min(128, C)
+    # divisor-aware channel-block picks (code-review r5 finding #1:
+    # min(128, C) crashed legal non-128-multiple C, and the phase-2
+    # batch of K pairs needs its own divisor)
+    cb = block_channels if block_channels else _auto_cb(C, 128)
     p0r, p0i, t0r, t0i, dp = state.planes
 
     # ---- phase 1: gate ----
@@ -168,17 +169,15 @@ def prod_rx_batch_gated(cfg: ModemConfig, state: GatedRxState,
     # ---- phase 2: decode the compacted pairs ----
     ddt = jnp.bfloat16 if cfg.decim_dtype == "bf16" else jnp.float32
     dp0 = jnp.zeros((cfg.cycles, 2, K, cfg.symbols_per_block), ddt)
-    kb = block_channels if block_channels else min(128, K)
+    kb = min(block_channels, K) if block_channels else _auto_cb(K, 128)
     dec2, _, _ = fused_rx_block(
         cfg, pairs, pr, pi, tl_r, tl_i, dp0, descramble=descramble,
-        block_channels=min(kb, K), interpret=interpret)
+        block_channels=kb, interpret=interpret)
     # block 1's rows are the decode (block 0 rebuilt the hunt window)
     dec2 = jax.tree.map(lambda x: x[K:], dec2)
 
     in_cap = jnp.arange(K) < jnp.minimum(count, K)
-    dibits = dec2["dibits"].astype(jnp.uint8)
-    bits = jnp.stack([dibits & 1, dibits >> 1], axis=-1).reshape(
-        dibits.shape[0], -1).astype(jnp.uint8)   # rx_production layout
+    bits = dibits_to_bits(dec2["dibits"])        # rx_production layout
     out = {
         "count": count,
         "block_idx": b_idx.astype(jnp.int32),

@@ -46,7 +46,8 @@ from ..config import ModemConfig
 from ..constants import PREAMBLE_VALUES, rrc_taps
 from ..dsp.fftops import estimate_cfo
 from ..dsp.fir import fir_block, fir_init_state
-from ..dsp.mixer import mix_block, mixer_init_phase, mixer_table
+from ..dsp.mixer import (downmix_tail, mix_block, mixer_init_phase,
+                         mixer_table)
 from ..scramble import scramble_dibits
 from ..utils.compat import czeros
 
@@ -817,10 +818,8 @@ def prod_rx_batch(cfg: ModemConfig, state: ProdRxState, pcm_frames, *,
     # tails[b] = last `halo` downmixed samples of raw block b-1
     # (tails[0] = carried state), in scaled units.
     x_t = pcm_frames[:, :, n - halo:].astype(jnp.float32) * inv_scale
-    tr_t = jnp.asarray(table.real[n - halo:])
-    ti_t = jnp.asarray(table.imag[n - halo:])
-    tl_r = x_t * (ph_r[..., None] * tr_t - ph_i[..., None] * ti_t)
-    tl_i = x_t * (ph_r[..., None] * ti_t + ph_i[..., None] * tr_t)
+    tl_r, tl_i = downmix_tail(cfg.center, cfg.fs, n, halo, x_t,
+                              ph_r[..., None], ph_i[..., None])
     tails_r = jnp.concatenate([tail0_r[None], tl_r[:-1]], 0)
     tails_i = jnp.concatenate([tail0_i[None], tl_i[:-1]], 0)
 
@@ -947,12 +946,19 @@ def _auto_cb(C: int, cap: int) -> int:
     return cb
 
 
+def dibits_to_bits(dibits):
+    """u8 dibits {0..3} -> the interleaved ProdRxOut.bits layout
+    (single definition shared with the gated pipeline -- code-review
+    r5 finding #2)."""
+    d = dibits.astype(jnp.uint8)
+    return jnp.stack([d & 1, d >> 1], axis=-1).reshape(
+        *d.shape[:-1], -1).astype(jnp.uint8)
+
+
 def _decode_out(cfg: ModemConfig, dec, lag, phase_idx, peak) -> ProdRxOut:
     """Assemble ProdRxOut from the fused-decode kernel's stat dict."""
     valid = dec["gated"] & (dec["matches"] > cfg.match_threshold)
-    dibits = dec["dibits"].astype(jnp.uint8)
-    bits = jnp.stack([dibits & 1, dibits >> 1], axis=-1).reshape(
-        dibits.shape[0], -1).astype(jnp.uint8)
+    bits = dibits_to_bits(dec["dibits"])
     return ProdRxOut(
         valid=valid, bits=bits, matches=dec["matches"], lag=lag,
         timing_phase=phase_idx, peak=peak, energy=dec["energy"],

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModemConfig
 from ..constants import PREAMBLE_VALUES, scramble_dibit_mask
-from ..dsp.mixer import mixer_table
+from ..dsp.mixer import downmix_tail, mixer_table
 from .decode_pallas import (_dft_operands, _energy_band_lagtile,
                             _energy_band_smaj, _hunt_decode_core,
                             _pnb_operand, _probe_out,
@@ -564,16 +564,13 @@ def fused_rx_block(cfg: ModemConfig, pcm_frames, p0r, p0i, tail0_r,
     fr = p0r * np.float32(advs.real[B]) - p0i * np.float32(advs.imag[B])
     fi = p0r * np.float32(advs.imag[B]) + p0i * np.float32(advs.real[B])
     mag = jnp.sqrt(fr * fr + fi * fi)
-    table = mixer_table(-cfg.center, cfg.fs, n)
     x_t = pcm_frames[-1, :, n - halo:].astype(jnp.float32) * inv_scale
     lr = (p0r * np.float32(advs.real[B - 1])
           - p0i * np.float32(advs.imag[B - 1]))[:, None]
     li = (p0r * np.float32(advs.imag[B - 1])
           + p0i * np.float32(advs.real[B - 1]))[:, None]
-    tr_t = jnp.asarray(table.real[n - halo:])
-    ti_t = jnp.asarray(table.imag[n - halo:])
-    fin_tr = x_t * (lr * tr_t - li * ti_t)
-    fin_ti = x_t * (lr * ti_t + li * tr_t)
+    fin_tr, fin_ti = downmix_tail(cfg.center, cfg.fs, n, halo,
+                                  x_t, lr, li)
     return dec, dlast, (fr / mag, fi / mag, fin_tr, fin_ti)
 
 

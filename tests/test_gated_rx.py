@@ -40,7 +40,7 @@ def _full_reference(batch, C):
     return out
 
 
-def _check_rows(out_g, full, C, b_lo=0, b_off=0):
+def _check_rows(out_g, full, C, b_off=0):
     """Every gated row maps to the identical full-path decision."""
     v = np.asarray(out_g["valid"])
     rows = 0
@@ -106,6 +106,21 @@ def test_gated_rx_streaming_seam_block0_detection():
     vb2 = np.asarray(out_b["valid"]) & (
         np.asarray(out_b["block_idx"]) == 0)
     assert vb2.any()
+
+
+def test_gated_rx_non_128_multiple_channels_trace():
+    """Code-review r5 finding #1: C=192 (a legal 64-multiple that is
+    not a 128-multiple) and a non-divisor K must trace without hitting
+    the kernel's divisibility assert (divisor-aware _auto_cb picks).
+    eval_shape keeps this cheap -- the crash was at trace time."""
+    C, B, K = 192, 2, 12
+    st = prod_rx_gated_init(CFG, C)
+    pcm = jnp.zeros((B, C, CFG.frame_size), jnp.int16)
+    out_shape = jax.eval_shape(
+        lambda s, p: prod_rx_batch_gated(
+            CFG, s, p, max_detections=K, interpret=True),
+        st, pcm)
+    assert out_shape[1]["dibits"].shape == (K, CFG.frame_symbols)
 
 
 def test_gated_rx_capacity_truncation_reported():
