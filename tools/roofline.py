@@ -78,7 +78,8 @@ def main() -> None:
     cfg = DEFAULT_CONFIG
     if not args.conservative:
         # bench.py headline operating point
-        cfg = cfg.replace(decim_dtype="bf16", hunt_dtype="int8")
+        cfg = cfg.replace(decim_dtype="bf16", hunt_dtype="int8",
+                          ls_refit_symbols=128)
     from singlecarrier_tpu.modem.rx_production import prod_rx_batch
     from singlecarrier_tpu.modem import prod_rx_init_planes
     from singlecarrier_tpu.ops.decode_pallas import \
@@ -276,7 +277,8 @@ def main() -> None:
             "# Per-kernel roofline (real chip, floor-honest)\n\n"
             f"Device: {jax.devices()[0]}.  Config = the BENCH "
             f"operating point (decim {cfg.decim_dtype}, hunt "
-            f"{cfg.hunt_dtype} {cfg.hunt_scheme}, gram {cfg.ls_gram})."
+            f"{cfg.hunt_dtype} {cfg.hunt_scheme}, gram {cfg.ls_gram}, "
+            f"refit window {cfg.ls_refit_symbols or 'full'})."
             "  Method: every dispatch sized > 60 ms device time "
             "(rows/dispatch column), timed as the SLOPE over chained "
             f"async invocations (k={k1} vs k={k2}, one scalar sync "
