@@ -84,6 +84,8 @@ def main() -> None:
     ap.add_argument("--hunt-norm", default=None,
                     choices=[None, "energy", "espan", "none"],
                     help="override cfg.hunt_norm")
+    ap.add_argument("--refit-symbols", type=int, default=None,
+                    help="override cfg.ls_refit_symbols")
     args = ap.parse_args()
 
     import jax
@@ -107,6 +109,8 @@ def main() -> None:
         cfg = cfg.replace(ls_gram=args.ls_gram)
     if args.hunt_norm:
         cfg = cfg.replace(hunt_norm=args.hunt_norm)
+    if args.refit_symbols is not None:
+        cfg = cfg.replace(ls_refit_symbols=args.refit_symbols)
     from singlecarrier_tpu.modem import prod_rx_init
     from singlecarrier_tpu.modem.rx_production import (
         _decode_out, _extract_packet_planes, _hunt_planes)
